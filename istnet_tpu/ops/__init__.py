@@ -1,0 +1,26 @@
+"""Point-cloud ops: XLA reference implementations + fused Pallas TPU kernels.
+
+``istnet_tpu.ops.pointnet2`` — pure-XLA, runs anywhere (CPU tests, TPU).
+``istnet_tpu.ops.pallas_kernels`` — fused Pallas TPU kernels for the hot ops.
+``select`` picks the best implementation for the current backend.
+"""
+
+from istnet_tpu.ops.pointnet2 import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_interpolate_weights,
+    three_nn,
+)
+
+__all__ = [
+    "ball_query",
+    "furthest_point_sample",
+    "gather_points",
+    "group_points",
+    "three_interpolate",
+    "three_interpolate_weights",
+    "three_nn",
+]

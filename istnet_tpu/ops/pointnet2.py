@@ -1,0 +1,180 @@
+"""Point-cloud set ops — pure-XLA (jax.numpy) implementations.
+
+TPU-native re-design of the reference's CUDA L0 ops
+(``/root/reference/model/pointnet2/_ext_src/src/*.cu``). Semantics match the
+CUDA kernels exactly (verified by unit tests in ``tests/test_ops.py``):
+
+- ``furthest_point_sample``  — ``sampling_gpu.cu:74-178``: seed index 0,
+  iteratively pick the point maximizing the running min-squared-distance.
+- ``ball_query``             — ``ball_query_gpu.cu:14-59``: for each centroid,
+  the *first* ``nsample`` point indices (in index order) with
+  ``d2 < radius**2``, padded by repeating the first hit; all-zero if no hit.
+- ``three_nn``               — ``interpolate_gpu.cu:14-73`` +
+  ``pointnet2_utils.py:142`` (sqrt applied): 3 smallest Euclidean distances
+  and their indices, first-occurrence tie-breaking.
+- ``gather_points`` / ``group_points`` / ``three_interpolate`` — plain gathers
+  (``take_along_axis``); JAX autodiff gives the deterministic scatter-add
+  backward that the reference implements with ``atomicAdd``
+  (``sampling_gpu.cu:43-62``, ``group_points_gpu.cu:45-80``,
+  ``interpolate_gpu.cu:120-159``).
+
+Layout: channel-LAST — points ``(B, N, 3)``, features ``(B, N, C)``. The
+reference uses ``(B, C, N)``; channel-last maps the feature dim onto TPU lanes.
+
+All shapes are static; every op compiles once per (N, npoint, nsample) tuple.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling
+# ---------------------------------------------------------------------------
+
+def _fps_single(xyz: Array, npoint: int) -> Array:
+    """FPS over one cloud ``(N, 3) -> (npoint,)`` int32 indices."""
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+
+    def step(carry, _):
+        min_d2, last = carry
+        diff = xyz - xyz[last]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        return (min_d2, nxt), nxt
+
+    # CUDA seeds the temp distance buffer with 1e10 (sampling.cpp:70-91).
+    init = (jnp.full((n,), 1e10, jnp.float32), jnp.int32(0))
+    if npoint == 1:
+        return jnp.zeros((1,), jnp.int32)
+    (_, _), rest = lax.scan(step, init, None, length=npoint - 1)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sample(xyz: Array, npoint: int) -> Array:
+    """Iterative farthest point sampling.
+
+    Args:
+      xyz: ``(B, N, 3)`` point coordinates.
+      npoint: number of samples (static).
+
+    Returns:
+      ``(B, npoint)`` int32 indices into N. Non-differentiable (the reference
+      marks it non-differentiable too, ``pointnet2_utils.py:72-77``).
+    """
+    return jax.vmap(lambda p: _fps_single(p, npoint))(xyz)
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Array:
+    """First-``nsample``-in-radius neighbor indices, CUDA-order semantics.
+
+    Args:
+      radius: ball radius (static).
+      nsample: max neighbors (static).
+      xyz: ``(B, N, 3)`` all points.
+      new_xyz: ``(B, M, 3)`` query centroids.
+
+    Returns:
+      ``(B, M, nsample)`` int32 indices. Matches ``ball_query_gpu.cu:38-46``:
+      hits kept in ascending index order, padded with the first hit; rows with
+      zero hits are all-zero (the wrapper zero-initializes the buffer,
+      ``ball_query.cpp:31``).
+    """
+    n = xyz.shape[1]
+    d2 = jnp.sum(
+        (new_xyz[:, :, None, :].astype(jnp.float32)
+         - xyz[:, None, :, :].astype(jnp.float32)) ** 2,
+        axis=-1,
+    )  # (B, M, N)
+    hit = d2 < jnp.float32(radius) ** 2
+    # Sort key: hits keep their index k, misses are pushed past N. top_k of the
+    # negated key returns the nsample smallest keys == first hits in index order.
+    ar = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    key = jnp.where(hit, ar, n + ar)
+    neg_topk, _ = lax.top_k(-key, nsample)  # (B, M, nsample)
+    sel = -neg_topk
+    valid = sel < n
+    first_hit = sel[..., :1]  # smallest key == first hit when any hit exists
+    nhits = jnp.any(hit, axis=-1, keepdims=True)
+    pad = jnp.where(nhits, first_hit, 0)
+    return jnp.where(valid, sel, pad).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Gathers (differentiable via JAX autodiff — deterministic scatter-add bwd)
+# ---------------------------------------------------------------------------
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """``(B, N, C), (B, M) -> (B, M, C)`` — reference ``sampling_gpu.cu:13-35``."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: Array, idx: Array) -> Array:
+    """``(B, N, C), (B, M, S) -> (B, M, S, C)`` — reference ``group_points_gpu.cu:13-40``."""
+    b, m, s = idx.shape
+    flat = gather_points(points, idx.reshape(b, m * s))
+    return flat.reshape(b, m, s, points.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Three-NN interpolation
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
+    """3 nearest neighbors of each ``unknown`` point among ``known`` points.
+
+    Args:
+      unknown: ``(B, N, 3)``.
+      known: ``(B, M, 3)``.
+
+    Returns:
+      ``dist (B, N, 3)`` Euclidean distances (sqrt applied, matching
+      ``pointnet2_utils.py:142``) and ``idx (B, N, 3)`` int32, both sorted by
+      ascending distance with first-occurrence tie-breaking
+      (``interpolate_gpu.cu:38-60`` uses strict ``<``).
+    """
+    d2 = jnp.sum(
+        (unknown[:, :, None, :].astype(jnp.float32)
+         - known[:, None, :, :].astype(jnp.float32)) ** 2,
+        axis=-1,
+    )  # (B, N, M)
+    neg_d2, idx = lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
+    """Weighted 3-neighbor feature interpolation.
+
+    Args:
+      points: ``(B, M, C)`` source features.
+      idx: ``(B, N, 3)`` neighbor indices.
+      weight: ``(B, N, 3)`` interpolation weights.
+
+    Returns:
+      ``(B, N, C)`` — reference ``interpolate_gpu.cu:77-117``. Differentiable
+      in ``points`` (scatter-add bwd) and ``weight``; ``idx`` is integral.
+    """
+    gathered = group_points(points, idx)  # (B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None].astype(gathered.dtype), axis=2)
+
+
+def three_interpolate_weights(dist: Array) -> Array:
+    """Inverse-distance weights used by FP modules (``pointnet2_modules.py:185-189``)."""
+    recip = 1.0 / (dist + 1e-8)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
