@@ -5,9 +5,9 @@
 ``select`` picks the best implementation for the current backend.
 """
 
+from istnet_tpu.ops.dispatch import furthest_point_sample
 from istnet_tpu.ops.pointnet2 import (
     ball_query,
-    furthest_point_sample,
     gather_points,
     group_points,
     three_interpolate,
