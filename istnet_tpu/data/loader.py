@@ -1,0 +1,78 @@
+"""Minimal batching data loader (numpy collate + background prefetch).
+
+Replaces torch's DataLoader use in the reference (``train.py:140-177``,
+num_workers=4, shuffle, drop_last). Worker parallelism uses a thread pool —
+the heavy per-sample work (cv2 morphology, PNG decode) releases the GIL in
+OpenCV, so threads scale on multi-core hosts without fork overhead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack same-keyed numpy leaves along a new batch axis."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or isinstance(
+                vals[0], (int, float, np.integer, np.floating)):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> list[np.ndarray]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,41 @@
+"""Loss primitives — rebuild of the reference ``model/losses.py``."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def smooth_l1_dis(p1: Array, p2: Array, threshold: float = 0.1) -> Array:
+    """Smooth-L1 point distance (losses.py:3-22): per-coordinate smooth L1,
+    summed over xyz, mean over batch*points."""
+    diff = jnp.abs(p1 - p2)
+    less = jnp.square(diff) / (2.0 * threshold)
+    higher = diff - threshold / 2.0
+    dis = jnp.where(diff > threshold, higher, less)
+    return jnp.mean(jnp.sum(dis, axis=-1))
+
+
+def chamfer_dis(p1: Array, p2: Array) -> Array:
+    """Symmetric Chamfer distance (losses.py:25-34). Defined for parity;
+    unused by IST-Net (as in the reference)."""
+    dis = jnp.linalg.norm(p1[:, :, None, :] - p2[:, None, :, :], axis=-1)
+    dis1 = jnp.min(dis, axis=2)
+    dis2 = jnp.min(dis, axis=1)
+    return jnp.mean(0.5 * jnp.mean(dis1, axis=1) + 0.5 * jnp.mean(dis2, axis=1))
+
+
+def pose_dis(r1: Array, t1: Array, s1: Array, r2: Array, t2: Array, s2: Array) -> Array:
+    """Pose distance (losses.py:37-49): mean column norms of R diff + mean
+    norms of t and s diffs."""
+    dis_r = jnp.mean(jnp.linalg.norm(r1 - r2, axis=1))  # norm over rows -> per-column
+    dis_t = jnp.mean(jnp.linalg.norm(t1 - t2, axis=1))
+    dis_s = jnp.mean(jnp.linalg.norm(s1 - s2, axis=1))
+    return dis_r + dis_t + dis_s
+
+
+def feature_mse(a: Array, b: Array) -> Array:
+    """nn.functional.mse_loss equivalent (ist_net.py:99)."""
+    return jnp.mean(jnp.square(a - b))

@@ -1,0 +1,129 @@
+"""Pose heads and the implicit space transformation module.
+
+Rebuild of the reference's estimator stack (``model/ist_net.py:114-332``):
+
+- ``FeatureDeformer`` / ``ImplicitTransformation`` — the paper's core: per-point
+  NOCS coordinates + world-space features from camera-space features.
+- ``LightEstimator`` — train-only aux pose head on camera-space features.
+- ``HeavyEstimator`` — the main pose head (also reused by the world enhancer
+  and PoseNetGT; duplicate definition at ``model/posenet_gt.py:71-136``).
+
+Channel-last layout: per-point features are (B, N, C); "1x1 conv" MLPs are
+Dense layers on the channel axis (MXU matmuls). None of these use BatchNorm
+(the reference's estimator convs are plain Conv1d+ReLU).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from istnet_tpu.nn.layers import TorchDense
+from istnet_tpu.nn.rotation import ortho6d_to_mat
+
+Array = jax.Array
+
+
+class MLP(nn.Module):
+    """Dense+ReLU chain; if ``final_act`` is False the last layer is linear."""
+
+    channels: tuple[int, ...]
+    final_act: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i, c in enumerate(self.channels):
+            x = TorchDense(c)(x)
+            if self.final_act or i + 1 < len(self.channels):
+                x = nn.relu(x)
+        return x
+
+
+class PoseHeads(nn.Module):
+    """rot-6D / translation / size FC heads shared by both estimators
+    (ist_net.py:228-248, :296-316)."""
+
+    @nn.compact
+    def __call__(self, feat: Array):
+        r6 = MLP((512, 256), final_act=True)(feat)
+        r6 = TorchDense(6)(r6)
+        r = ortho6d_to_mat(r6[:, :3], r6[:, 3:])
+        t = TorchDense(3)(MLP((512, 256))(feat))
+        s = TorchDense(3)(MLP((512, 256))(feat))
+        return r, t, s
+
+
+class FeatureDeformer(nn.Module):
+    """Implicit space transformation (ist_net.py:125-183).
+
+    cat[pts-MLP(64), pts_local(128), rgb_local(128)] -> MLP(384, 256) ->
+    concat global mean (512) -> MLP(384, 256, 128) = world-space features;
+    NOCS head emits nclass*3 channels, the sample's class channel is selected.
+    """
+
+    nclass: int = 6
+
+    @nn.compact
+    def __call__(self, pts: Array, rgb_local: Array, pts_local: Array, cls: Array):
+        b, n, _ = pts.shape
+        pts_pose_feat = MLP((32, 64))(pts)
+        deform_feat = jnp.concatenate([pts_pose_feat, pts_local, rgb_local], axis=-1)
+
+        pts_local_w = MLP((384, 256))(deform_feat)
+        global_w = jnp.mean(pts_local_w, axis=1, keepdims=True)
+        pts_local_w = jnp.concatenate(
+            [pts_local_w, jnp.broadcast_to(global_w, pts_local_w.shape)], axis=-1)
+        pts_local_w = MLP((384, 256, 128))(pts_local_w)
+
+        nocs = MLP((256, 128), final_act=True)(pts_local_w)
+        nocs = TorchDense(self.nclass * 3)(nocs)  # (B, N, nclass*3), class-major
+        nocs = nocs.reshape(b, n, self.nclass, 3)
+        cls_idx = cls.reshape(b, 1, 1, 1).astype(jnp.int32)
+        pts_w = jnp.take_along_axis(nocs, jnp.broadcast_to(cls_idx, (b, n, 1, 3)), axis=2)
+        return pts_local_w, pts_w.squeeze(2)
+
+
+class ImplicitTransformation(nn.Module):
+    """Wrapper matching the reference API (ist_net.py:114-122)."""
+
+    nclass: int = 6
+
+    @nn.compact
+    def __call__(self, rgb_local: Array, pts_local: Array, pts: Array, cls: Array):
+        pts_local_w, pts_w = FeatureDeformer(self.nclass)(pts, rgb_local, pts_local, cls)
+        return pts_w, pts_local_w
+
+
+class LightEstimator(nn.Module):
+    """Aux camera-space pose head (ist_net.py:202-264)."""
+
+    @nn.compact
+    def __call__(self, pts: Array, rgb_local: Array, pts_local: Array):
+        pts_feat = MLP((32, 64))(pts)
+        pose_feat = jnp.concatenate([rgb_local, pts_feat, pts_local], axis=-1)  # 320
+        pose_feat = MLP((256, 256))(pose_feat)
+        pose_global = jnp.mean(pose_feat, axis=1, keepdims=True)
+        pose_feat = jnp.concatenate(
+            [pose_feat, jnp.broadcast_to(pose_global, pose_feat.shape)], axis=-1)
+        pose_feat = MLP((512, 512))(pose_feat)
+        pose_feat = jnp.mean(pose_feat, axis=1)  # AdaptiveAvgPool1d(1)
+        return PoseHeads()(pose_feat)
+
+
+class HeavyEstimator(nn.Module):
+    """Main pose head (ist_net.py:267-332)."""
+
+    @nn.compact
+    def __call__(self, pts: Array, pts_w: Array, rgb_local: Array,
+                 pts_local: Array, pts_w_local: Array):
+        p1 = MLP((32, 64))(pts)
+        p2 = MLP((32, 64))(pts_w)
+        pose_feat = jnp.concatenate([rgb_local, p1, pts_local, p2, pts_w_local], axis=-1)  # 512
+        pose_feat = MLP((256, 256))(pose_feat)
+        pose_global = jnp.mean(pose_feat, axis=1, keepdims=True)
+        pose_feat = jnp.concatenate(
+            [pose_feat, jnp.broadcast_to(pose_global, pose_feat.shape)], axis=-1)
+        pose_feat = MLP((512, 512))(pose_feat)
+        pose_feat = jnp.mean(pose_feat, axis=1)
+        return PoseHeads()(pose_feat)

@@ -1,0 +1,205 @@
+"""Primitive layers: torch-init convs/dense, BatchNorm, PReLU, spatial dropout, resize.
+
+These match the reference's layer semantics (PyTorch defaults) so that training
+dynamics are comparable:
+
+- ``TorchConv`` / ``TorchDense``: kaiming-uniform(a=sqrt(5)) weights and
+  uniform(±1/sqrt(fan_in)) bias — torch's nn.Conv2d/nn.Linear defaults.
+- ``BatchNorm``: torch semantics (biased variance for normalization, unbiased
+  for the running-stat update, eps 1e-5). In train mode it normalizes by batch
+  stats and *publishes* them to the mutable ``bn_batch`` collection; the train
+  step performs ``running = (1-m)*running + m*batch`` with the scheduled
+  momentum m (reference ``utils/scheduler.py:284-303`` mutates module momentum
+  in place; here the schedule lives functionally in the train loop).
+- ``PReLU``: single shared slope, init 0.25 (torch nn.PReLU default).
+- ``Dropout2d``: drops whole channels (torch nn.Dropout2d).
+- ``resize_bilinear``: align_corners=False (jax.image) and a separable
+  align_corners=True variant (reference ``model/modules.py:41`` uses both).
+
+All layers are channel-last (NHWC / (B, N, C)).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = jax.Array
+
+
+def _kaiming_uniform_a5(key, shape, dtype=jnp.float32):
+    """torch default conv/linear weight init: kaiming_uniform(a=sqrt(5)).
+
+    For flax kernel shapes (..., in, out): fan_in = prod(spatial) * in.
+    bound = sqrt(6 / ((1 + a^2) * fan_in)) = sqrt(1 / fan_in).
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    bound = float(np.sqrt(1.0 / fan_in))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _uniform_bias(fan_in: int) -> Callable:
+    bound = float(np.sqrt(1.0 / fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchConv(nn.Module):
+    """NHWC conv with torch-default init. 'SAME'-style explicit padding."""
+
+    features: int
+    kernel_size: tuple[int, int] = (1, 1)
+    strides: tuple[int, int] = (1, 1)
+    padding: int | Sequence[tuple[int, int]] = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=_kaiming_uniform_a5,
+            bias_init=_uniform_bias(fan_in),
+        )(x)
+
+
+class TorchDense(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=_kaiming_uniform_a5,
+            bias_init=_uniform_bias(x.shape[-1]),
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """Channel-last batch norm with torch semantics and external EMA update.
+
+    Collections:
+      params       — scale (init 1), bias (init 0)   (pytorch_utils.py:53-59)
+      batch_stats  — running mean/var used at eval
+      bn_batch     — this step's batch mean / unbiased var, published in train
+                     mode for the train loop's scheduled-momentum EMA update.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            count = int(np.prod([x.shape[a] for a in axes]))
+            mean = jnp.mean(x.astype(jnp.float32), axes)
+            var = jnp.mean(jnp.square(x.astype(jnp.float32)), axes) - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if self.is_mutable_collection("bn_batch"):
+                bm = self.variable("bn_batch", "mean", lambda: jnp.zeros((c,), jnp.float32))
+                bv = self.variable("bn_batch", "var", lambda: jnp.ones((c,), jnp.float32))
+                bm.value = mean
+                # torch tracks the *unbiased* variance in running_var
+                bv.value = var * (count / max(count - 1, 1))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU (torch nn.PReLU() default, init 0.25)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout for NHWC maps (torch nn.Dropout2d)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2), deterministic=not train)(x)
+
+
+# ---------------------------------------------------------------------------
+# Resizing
+# ---------------------------------------------------------------------------
+
+def resize_bilinear(x: Array, out_h: int, out_w: int) -> Array:
+    """align_corners=False bilinear (torch F.interpolate default). NHWC."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
+
+
+def resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
+    """align_corners=True bilinear, separable gathers. NHWC.
+
+    Matches torch nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=True) as used by PSPUpsample (modules.py:41).
+    """
+
+    def interp_axis(v: Array, axis: int, out_size: int) -> Array:
+        in_size = v.shape[axis]
+        if in_size == 1:
+            reps = [1] * v.ndim
+            reps[axis] = out_size
+            return jnp.tile(v, reps)
+        pos = jnp.linspace(0.0, in_size - 1.0, out_size)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        w = (pos - lo).astype(v.dtype)
+        vlo = jnp.take(v, lo, axis=axis)
+        vhi = jnp.take(v, hi, axis=axis)
+        shape = [1] * v.ndim
+        shape[axis] = out_size
+        w = w.reshape(shape)
+        return vlo * (1 - w) + vhi * w
+
+    x = interp_axis(x, 1, out_h)
+    x = interp_axis(x, 2, out_w)
+    return x
+
+
+def adaptive_avg_pool(x: Array, out_size: int) -> Array:
+    """NHWC adaptive average pool to (out_size, out_size).
+
+    Requires divisible spatial dims (true for the 192-crop pipeline: PSP sees
+    24x24 and pools to 1/2/3/6 — modules.py:11,23).
+    """
+    _, h, w, _ = x.shape
+    if h % out_size or w % out_size:
+        raise ValueError(f"adaptive_avg_pool needs divisible sizes, got {h}x{w} -> {out_size}")
+    kh, kw = h // out_size, w // out_size
+    return nn.avg_pool(x, (kh, kw), strides=(kh, kw))

@@ -106,8 +106,12 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Array
     # negated key returns the nsample smallest keys == first hits in index order.
     ar = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
     key = jnp.where(hit, ar, n + ar)
-    neg_topk, _ = lax.top_k(-key, nsample)  # (B, M, nsample)
+    k = min(nsample, n)
+    neg_topk, _ = lax.top_k(-key, k)  # (B, M, k)
     sel = -neg_topk
+    if k < nsample:  # fewer points than nsample: CUDA pads with the first hit
+        sel = jnp.concatenate(
+            [sel, jnp.broadcast_to(sel[..., :1], sel.shape[:-1] + (nsample - k,))], axis=-1)
     valid = sel < n
     first_hit = sel[..., :1]  # smallest key == first hit when any hit exists
     nhits = jnp.any(hit, axis=-1, keepdims=True)

@@ -1,0 +1,14 @@
+from istnet_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    jit_train_step_dp,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "batch_sharding", "jit_train_step_dp", "make_mesh",
+    "replicate", "replicated", "shard_batch",
+]

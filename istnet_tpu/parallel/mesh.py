@@ -1,0 +1,66 @@
+"""Device mesh + data-parallel sharding.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(``train.py:98-99``). The TPU-native equivalent: a 1-D ``jax.sharding.Mesh``
+over all devices with the batch dim sharded and parameters replicated;
+gradient all-reduce is inserted by XLA (GSPMD) as ``psum`` over ICI, and the
+same code scales to multi-host (DCN) via ``jax.distributed.initialize`` +
+per-host data feeding.
+
+Note one deliberate semantic upgrade: BatchNorm statistics are computed over
+the GLOBAL batch (sync-BN) because the batch mean under GSPMD is a global
+reduction — DataParallel keeps per-replica stats. Sync-BN is the standard
+improvement and matters at small per-device batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PyTree = Any
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: PyTree) -> PyTree:
+    """Place a host-local batch onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: PyTree) -> PyTree:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def jit_train_step_dp(train_step, mesh: Mesh):
+    """jit the train step with explicit DP shardings: state/rng replicated,
+    batch sharded on its leading axis; outputs replicated."""
+    rep = replicated(mesh)
+    dp = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, dp, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

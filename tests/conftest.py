@@ -8,7 +8,17 @@ in ``bench.py``, not under pytest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: this environment's axon TPU plugin ignores the JAX_PLATFORMS env var
+# and the --xla_force_host_platform_device_count XLA flag; only programmatic
+# config updates (before first backend use) are honored.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the test runner has ONE cpu core; full-model
+# grad graphs take minutes to compile the first time, milliseconds after.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

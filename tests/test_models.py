@@ -1,0 +1,137 @@
+"""Model-level tests: shape contracts (SURVEY §2.4), init, train/eval branches.
+
+Tiny configuration (128 pts, 48x48 crop, SA sizes (32,16,8,8)) — the modules
+are size-agnostic, and the 1-core CPU test runner can't compile the full
+192/1024 graphs quickly. Everything heavy is computed once, jitted, in the
+module fixture.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+from istnet_tpu.nn.rotation import ortho6d_to_mat
+
+TINY_NPOINTS = (32, 16, 8, 8)
+B, N, IMG = 2, 128, 48
+
+
+def _tiny_inputs(train=True):
+    rng = np.random.RandomState(0)
+    inputs = {
+        "rgb": jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32)),
+        "pts": jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.1),
+        "choose": jnp.asarray(rng.randint(0, IMG * IMG, size=(B, N)).astype(np.int32)),
+        "category_label": jnp.asarray(rng.randint(0, 6, size=(B,)).astype(np.int32)),
+    }
+    if train:
+        inputs["qo"] = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.1)
+    return inputs
+
+
+def _labels(inputs):
+    return {
+        "rotation_label": jnp.tile(jnp.eye(3), (B, 1, 1)),
+        "translation_label": jnp.zeros((B, 3)),
+        "size_label": jnp.ones((B, 3)),
+        "qo": inputs["qo"],
+    }
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    model = ISTNet(nclass=6, freeze_world_enhancer=False, sa_npoints=TINY_NPOINTS)
+    inputs = _tiny_inputs()
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, train=True)
+
+    @jax.jit
+    def train_fwd(variables, inputs):
+        return model.apply(variables, inputs, train=True, mutable=["bn_batch"],
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+
+    @jax.jit
+    def eval_fwd(params, batch_stats, inputs):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           inputs, train=False)
+
+    @jax.jit
+    def loss_and_grad(params, batch_stats, inputs, labels):
+        def loss_fn(p):
+            out, _ = ISTNet(nclass=6, freeze_world_enhancer=False,
+                            sa_npoints=TINY_NPOINTS).apply(
+                {"params": p, "batch_stats": batch_stats}, inputs, train=True,
+                mutable=["bn_batch"], rngs={"dropout": jax.random.PRNGKey(3)})
+            total, _ = supervised_loss(out, labels, gamma1=1.0, gamma2=10.0,
+                                       freeze_world_enhancer=False)
+            return total
+        return jax.value_and_grad(loss_fn)(params)
+
+    labels = _labels(inputs)
+    train_out, mut = train_fwd(variables, inputs)
+    eval_out = eval_fwd(variables["params"], variables["batch_stats"], _tiny_inputs(False))
+    loss_val, grads = loss_and_grad(variables["params"], variables["batch_stats"],
+                                    inputs, labels)
+    return dict(model=model, variables=variables, train_out=train_out, mut=mut,
+                eval_out=eval_out, loss=loss_val, grads=grads)
+
+
+def test_param_count(ctx):
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(ctx["variables"]["params"]))
+    # reference logs parameters via gorilla.parameter_count (train.py:121);
+    # 3x PointNet2MSG + ResNet18-PSP + heads ≈ 26M.
+    assert 20e6 < n < 33e6, f"unexpected parameter count {n}"
+
+
+def test_train_forward_shapes(ctx):
+    out = ctx["train_out"]
+    assert out["pred_rotation"].shape == (B, 3, 3)
+    assert out["pred_translation"].shape == (B, 3)
+    assert out["pred_size"].shape == (B, 3)
+    assert out["pred_qo"].shape == (B, N, 3)
+    assert out["pts_w_local"].shape == (B, N, 128)
+    assert out["pts_w_local_gt"].shape == (B, N, 128)
+    assert out["pred_rotation_aux_world"].shape == (B, 3, 3)
+    assert "bn_batch" in ctx["mut"]
+
+
+def test_eval_rotation_validity(ctx):
+    r = np.asarray(ctx["eval_out"]["pred_rotation"])
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", r, r),
+                               np.tile(np.eye(3), (B, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_loss_finite_and_grads_flow(ctx):
+    assert np.isfinite(float(ctx["loss"]))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(ctx["grads"]))
+    assert gnorm > 0
+    # world-enhancer extractor receives gradient through the feature MSE
+    we = ctx["grads"]["world_enhancer"]
+    wnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(we))
+    assert wnorm > 0
+
+
+def test_freeze_world_enhancer_param_structure():
+    model = ISTNet(nclass=6, freeze_world_enhancer=True, sa_npoints=TINY_NPOINTS)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                           _tiny_inputs(), train=True))
+    we = variables["params"]["world_enhancer"]
+    # frozen variant has the extractor but NOT the aux pose head (ist_net.py:189-191)
+    assert "extractor" in we and "pose_estimator" not in we
+
+
+def test_ortho6d_matches_reference_semantics():
+    rng = np.random.RandomState(0)
+    x_raw = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    y_raw = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    r = np.asarray(ortho6d_to_mat(x_raw, y_raw))
+    y = np.asarray(y_raw) / np.linalg.norm(y_raw, axis=-1, keepdims=True)
+    np.testing.assert_allclose(r[:, :, 1], y, atol=1e-5)  # col 1 = norm(y_raw)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", r, r),
+                               np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
