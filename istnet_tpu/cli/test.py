@@ -1,0 +1,94 @@
+"""Inference + evaluation CLI — mirrors the reference ``test.py:21-43`` surface.
+
+``python -m istnet_tpu.cli.test --config config/ist_net_default.yaml
+  --test_epoch 30 [--only_eval] [--vis]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="IST-Net TPU testing")
+    p.add_argument("--config", default="config/ist_net_default.yaml")
+    p.add_argument("--data_dir", default="data/NOCS")
+    p.add_argument("--test_epoch", type=int, default=30)
+    p.add_argument("--only_eval", action="store_true",
+                   help="skip inference, evaluate existing result pkls")
+    p.add_argument("--vis", action="store_true", help="draw detection boxes")
+    p.add_argument("--log_dir", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from istnet_tpu.data import TestDataset
+    from istnet_tpu.eval.nocs_map import evaluate
+    from istnet_tpu.eval.test_loop import test_func
+    from istnet_tpu.models.ist_net import ISTNet
+    from istnet_tpu.nn import precision
+    from istnet_tpu.train import checkpoints
+    from istnet_tpu.utils import Config, get_logger
+
+    cfg = Config.fromfile(args.config)
+    exp_name = os.path.splitext(os.path.basename(args.config))[0]
+    log_dir = args.log_dir or os.path.join("log", exp_name)
+    save_path = os.path.join(log_dir, f"eval_epoch{args.test_epoch}")
+    os.makedirs(save_path, exist_ok=True)
+    logger = get_logger(path_file=os.path.join(log_dir, f"test_{int(time.time())}.log"))
+
+    if not args.only_eval:
+        if cfg.get("compute_dtype", "float32") == "bfloat16":
+            import jax.numpy as jnp
+            precision.set_compute_dtype(jnp.bfloat16)
+
+        model = ISTNet(nclass=cfg.num_category,
+                       freeze_world_enhancer=bool(cfg.get("freeze_world_enhancer", False)))
+        payload = checkpoints.restore_for_eval(
+            os.path.join(log_dir, "ckpt"), args.test_epoch)
+        variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+        logger.info(f"restored epoch {args.test_epoch}")
+
+        @jax.jit
+        def forward(inputs):
+            return model.apply(variables, inputs, train=False)
+
+        dataset = TestDataset(cfg.test, args.data_dir)
+        logger.info(f"{len(dataset)} test images")
+        test_func(forward, dataset, save_path, logger=logger)
+
+        if args.vis:
+            from istnet_tpu.data.dataset import REAL_INTRINSICS
+            from istnet_tpu.eval.vis import draw_detections
+            import pickle
+            k = np.array([[REAL_INTRINSICS[0], 0, REAL_INTRINSICS[2]],
+                          [0, REAL_INTRINSICS[1], REAL_INTRINSICS[3]],
+                          [0, 0, 1]])
+            vis_dir = os.path.join(save_path, "vis")
+            for i in range(min(len(dataset), 50)):
+                data = dataset[i]
+                if data.get("empty"):
+                    continue
+                with open(os.path.join(save_path, os.path.basename(
+                        dataset.result_pkl_list[i])), "rb") as f:
+                    result = pickle.load(f)
+                # absolute box size = normalized size * scale, scale = cbrt(det(sR))
+                scale = np.cbrt(np.linalg.det(result["pred_RTs"][:, :3, :3]))
+                sizes = result["pred_scales"] * scale[:, None]
+                draw_detections(data["ori_img"].copy(), vis_dir, "real", i, k,
+                                result["pred_RTs"], result["pred_scales"],
+                                result["pred_class_ids"],
+                                result["gt_RTs"], result["gt_scales"],
+                                result["gt_class_ids"])
+
+    evaluate(save_path, logger=logger)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Pose visualization: project 3D boxes into the image and draw them.
+
+Rebuild of the reference ``utils/vis_utils.py:100-221`` (itself from
+NOCS_CVPR2019): symmetric-class rotation canonicalization, 3D box corner
+projection, layered box drawing (ground darker / pillars mid / top full
+color), and the pred(red)/gt(green)/nocs(blue) overlay writer.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import cv2
+import numpy as np
+
+from istnet_tpu.eval.nocs_map import get_3d_bbox, transform_coordinates_3d
+
+
+def align_rotation(srt: np.ndarray) -> np.ndarray:
+    """Canonicalize the y-axis rotation of a symmetric object's sRT
+    (vis_utils.py:140-160)."""
+    s = np.cbrt(np.linalg.det(srt[:3, :3]))
+    r = srt[:3, :3] / s
+    theta_x = r[0, 0] + r[2, 2]
+    theta_y = r[0, 2] - r[2, 0]
+    r_norm = math.sqrt(theta_x ** 2 + theta_y ** 2)
+    s_map = np.array([[theta_x / r_norm, 0.0, -theta_y / r_norm],
+                      [0.0, 1.0, 0.0],
+                      [theta_y / r_norm, 0.0, theta_x / r_norm]])
+    aligned = np.identity(4, dtype=np.float32)
+    aligned[:3, :3] = s * (r @ s_map)
+    aligned[:3, 3] = srt[:3, 3]
+    return aligned
+
+
+def calculate_2d_projections(coordinates_3d: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
+    """(3, N) camera-space -> (N, 2) pixel coords (vis_utils.py:120-137)."""
+    projected = intrinsics @ coordinates_3d
+    projected = projected[:2] / projected[2]
+    return projected.T.astype(np.int32)
+
+
+def draw_bboxes(img: np.ndarray, img_pts: np.ndarray, color) -> np.ndarray:
+    """Layered 3D box wireframe (vis_utils.py:163-177)."""
+    img_pts = np.int32(img_pts).reshape(-1, 2)
+    ground = tuple(int(c * 0.3) for c in color)
+    for i, j in zip([4, 5, 6, 7], [5, 7, 4, 6]):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), ground, 2)
+    pillar = tuple(int(c * 0.6) for c in color)
+    for i, j in zip(range(4), range(4, 8)):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), pillar, 2)
+    for i, j in zip([0, 1, 2, 3], [1, 3, 0, 2]):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), tuple(color), 2)
+    return img
+
+
+def _draw_set(img, srts, sizes, class_ids, intrinsics, color):
+    for i in range(len(srts)):
+        srt = align_rotation(srts[i]) if class_ids[i] in (1, 2, 4) else srts[i]
+        bbox = get_3d_bbox(sizes[i], 0)
+        pts = calculate_2d_projections(transform_coordinates_3d(bbox, srt), intrinsics)
+        img = draw_bboxes(img, pts, color)
+    return img
+
+
+def draw_detections(img, out_dir, data_name, img_id, intrinsics,
+                    pred_srt, pred_size, pred_class_ids,
+                    gt_srt=None, gt_size=None, gt_class_ids=None,
+                    nocs_srt=None, nocs_size=None, nocs_class_ids=None,
+                    draw_gt: bool = True, draw_nocs: bool = False):
+    """Overlay pred (red) / gt (green) / nocs (blue) boxes; write a PNG
+    (vis_utils.py:181-221). Returns the drawn image."""
+    intrinsics = np.asarray(intrinsics, np.float64)
+    if draw_nocs and nocs_srt is not None:
+        img = _draw_set(img, nocs_srt, nocs_size, nocs_class_ids, intrinsics, (255, 0, 0))
+    if draw_gt and gt_srt is not None:
+        img = _draw_set(img, gt_srt, gt_size, gt_class_ids, intrinsics, (0, 255, 0))
+    img = _draw_set(img, pred_srt, pred_size, pred_class_ids, intrinsics, (0, 0, 255))
+    os.makedirs(out_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, f"{data_name}_{img_id}_pred.png"), img)
+    return img

@@ -11,7 +11,7 @@ Array = jax.Array
 def smooth_l1_dis(p1: Array, p2: Array, threshold: float = 0.1) -> Array:
     """Smooth-L1 point distance (losses.py:3-22): per-coordinate smooth L1,
     summed over xyz, mean over batch*points."""
-    diff = jnp.abs(p1 - p2)
+    diff = jnp.abs(p1.astype(jnp.float32) - p2.astype(jnp.float32))
     less = jnp.square(diff) / (2.0 * threshold)
     higher = diff - threshold / 2.0
     dis = jnp.where(diff > threshold, higher, less)
@@ -37,5 +37,5 @@ def pose_dis(r1: Array, t1: Array, s1: Array, r2: Array, t2: Array, s2: Array) -
 
 
 def feature_mse(a: Array, b: Array) -> Array:
-    """nn.functional.mse_loss equivalent (ist_net.py:99)."""
-    return jnp.mean(jnp.square(a - b))
+    """nn.functional.mse_loss equivalent (ist_net.py:99); accumulated in f32."""
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))

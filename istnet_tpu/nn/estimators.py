@@ -46,11 +46,12 @@ class PoseHeads(nn.Module):
 
     @nn.compact
     def __call__(self, feat: Array):
-        r6 = MLP((512, 256), final_act=True)(feat)
-        r6 = TorchDense(6)(r6)
+        # heads emit float32 regardless of compute dtype: the Gram-Schmidt
+        # orthogonalization and pose losses need full precision
+        r6 = TorchDense(6)(MLP((512, 256), final_act=True)(feat)).astype(jnp.float32)
         r = ortho6d_to_mat(r6[:, :3], r6[:, 3:])
-        t = TorchDense(3)(MLP((512, 256))(feat))
-        s = TorchDense(3)(MLP((512, 256))(feat))
+        t = TorchDense(3)(MLP((512, 256))(feat)).astype(jnp.float32)
+        s = TorchDense(3)(MLP((512, 256))(feat)).astype(jnp.float32)
         return r, t, s
 
 
@@ -77,7 +78,8 @@ class FeatureDeformer(nn.Module):
         pts_local_w = MLP((384, 256, 128))(pts_local_w)
 
         nocs = MLP((256, 128), final_act=True)(pts_local_w)
-        nocs = TorchDense(self.nclass * 3)(nocs)  # (B, N, nclass*3), class-major
+        # (B, N, nclass*3), class-major; float32 for the NOCS regression loss
+        nocs = TorchDense(self.nclass * 3)(nocs).astype(jnp.float32)
         nocs = nocs.reshape(b, n, self.nclass, 3)
         cls_idx = cls.reshape(b, 1, 1, 1).astype(jnp.int32)
         pts_w = jnp.take_along_axis(nocs, jnp.broadcast_to(cls_idx, (b, n, 1, 3)), axis=2)

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from istnet_tpu.nn.precision import compute_dtype
+
 Array = jax.Array
 
 
@@ -76,6 +78,7 @@ class TorchConv(nn.Module):
             padding=pad,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=_kaiming_uniform_a5,
             bias_init=_uniform_bias(fan_in),
         )(x)
@@ -90,6 +93,7 @@ class TorchDense(nn.Module):
         return nn.Dense(
             features=self.features,
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=_kaiming_uniform_a5,
             bias_init=_uniform_bias(x.shape[-1]),
         )(x)

@@ -64,9 +64,10 @@ class PointnetSAModuleMSG(nn.Module):
         fps_idx = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
+        # one fused kernel computes all radius scales' neighbor indices
+        idx_per_scale = ops.ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)
         scale_feats = []
-        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
-            idx = ops.ball_query(radius, nsample, xyz, new_xyz)  # (B, np, ns)
+        for idx, mlp in zip(idx_per_scale, self.mlps):
             grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
             if features is not None:
                 grouped = ops.group_points(features, idx)

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from istnet_tpu.nn.precision import compute_dtype
 from istnet_tpu.nn.layers import (
     BatchNorm,
     Dropout2d,
@@ -67,6 +68,7 @@ class _RConv(nn.Module):
             strides=self.strides,
             padding=[(self.padding, self.padding)] * 2,
             use_bias=False,
+            dtype=compute_dtype(),
             kernel_init=_resnet_conv_init,
         )(x)
 

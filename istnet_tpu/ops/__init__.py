@@ -5,9 +5,8 @@
 ``select`` picks the best implementation for the current backend.
 """
 
-from istnet_tpu.ops.dispatch import furthest_point_sample
+from istnet_tpu.ops.dispatch import ball_query, ball_query_multi, furthest_point_sample
 from istnet_tpu.ops.pointnet2 import (
-    ball_query,
     gather_points,
     group_points,
     three_interpolate,

@@ -4,8 +4,9 @@ from __future__ import annotations
 
 import jax
 
-from istnet_tpu.ops import pointnet2 as _xla
+from istnet_tpu.ops import ball_query_pallas as _bq_pl
 from istnet_tpu.ops import fps_pallas as _fps_pl
+from istnet_tpu.ops import pointnet2 as _xla
 
 
 def _on_tpu() -> bool:
@@ -21,3 +22,23 @@ def furthest_point_sample(xyz, npoint: int):
     if _on_tpu() and n % 128 == 0:
         return _fps_pl.furthest_point_sample_pallas(xyz, npoint)
     return _xla.furthest_point_sample(xyz, npoint)
+
+
+def ball_query(radius: float, nsample: int, xyz, new_xyz):
+    """Ball query with automatic kernel selection (fused Pallas on TPU)."""
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    tm = min(m, 128)
+    if _on_tpu() and n % 128 == 0 and m % tm == 0:
+        return _bq_pl.ball_query_pallas(radius, nsample, xyz, new_xyz)
+    return _xla.ball_query(radius, nsample, xyz, new_xyz)
+
+
+def ball_query_multi(radii, nsamples, xyz, new_xyz):
+    """Multi-radius ball query over shared centroids (one fused kernel on TPU)."""
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    tm = min(m, 128)
+    if _on_tpu() and n % 128 == 0 and m % tm == 0:
+        return _bq_pl.ball_query_multi_pallas(tuple(radii), tuple(nsamples),
+                                              xyz, new_xyz)
+    return [_xla.ball_query(r, ns, xyz, new_xyz)
+            for r, ns in zip(radii, nsamples)]

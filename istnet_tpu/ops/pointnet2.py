@@ -76,6 +76,28 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Pairwise squared distances — on the MXU
+# ---------------------------------------------------------------------------
+
+def pairwise_d2(a: Array, b: Array) -> Array:
+    """``(B, M, 3), (B, N, 3) -> (B, M, N)`` squared distances.
+
+    Computed as |a|^2 + |b|^2 - 2 a.b with a full-precision (HIGHEST) matmul —
+    one MXU contraction instead of a (B, M, N, 3) broadcast tensor (which at
+    production shapes is a 200 MB VPU-bound intermediate). HIGHEST precision is
+    required: distances are ~1e-4 m^2 against radii^2 of 1e-4, beyond default
+    bf16-pass resolution.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    an = jnp.sum(a * a, axis=-1)
+    bn = jnp.sum(b * b, axis=-1)
+    ab = jnp.einsum("bmc,bnc->bmn", a, b, precision=lax.Precision.HIGHEST)
+    d2 = an[..., :, None] + bn[..., None, :] - 2.0 * ab
+    return jnp.maximum(d2, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # Ball query
 # ---------------------------------------------------------------------------
 
@@ -94,29 +116,28 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Array
       hits kept in ascending index order, padded with the first hit; rows with
       zero hits are all-zero (the wrapper zero-initializes the buffer,
       ``ball_query.cpp:31``).
+
+    Implementation: hit-rank scatter. rank = (exclusive cumsum of the hit
+    mask) is each hit's output slot; one scatter writes all first-``nsample``
+    hits in index order (out-of-range slots drop). No sort / top_k.
     """
-    n = xyz.shape[1]
-    d2 = jnp.sum(
-        (new_xyz[:, :, None, :].astype(jnp.float32)
-         - xyz[:, None, :, :].astype(jnp.float32)) ** 2,
-        axis=-1,
-    )  # (B, M, N)
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    d2 = pairwise_d2(new_xyz, xyz)  # (B, M, N)
     hit = d2 < jnp.float32(radius) ** 2
-    # Sort key: hits keep their index k, misses are pushed past N. top_k of the
-    # negated key returns the nsample smallest keys == first hits in index order.
-    ar = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    key = jnp.where(hit, ar, n + ar)
-    k = min(nsample, n)
-    neg_topk, _ = lax.top_k(-key, k)  # (B, M, k)
-    sel = -neg_topk
-    if k < nsample:  # fewer points than nsample: CUDA pads with the first hit
-        sel = jnp.concatenate(
-            [sel, jnp.broadcast_to(sel[..., :1], sel.shape[:-1] + (nsample - k,))], axis=-1)
-    valid = sel < n
-    first_hit = sel[..., :1]  # smallest key == first hit when any hit exists
-    nhits = jnp.any(hit, axis=-1, keepdims=True)
-    pad = jnp.where(nhits, first_hit, 0)
-    return jnp.where(valid, sel, pad).astype(jnp.int32)
+    rank = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1  # hit slot, -1 pre-first
+    slot = jnp.where(hit & (rank < nsample), rank, nsample)  # nsample = drop bin
+
+    src = lax.broadcasted_iota(jnp.int32, (b, m, n), 2)
+    out = jnp.full((b, m, nsample + 1), -1, jnp.int32)
+    # scatter along the last axis; duplicate slots can't collide (rank unique per row)
+    out = jax.vmap(jax.vmap(lambda o, s, v: o.at[s].set(v)))(out, slot, src)
+    out = out[..., :nsample]
+
+    first_hit = out[..., :1]  # slot 0 = first hit (or -1 if no hits)
+    filled = out >= 0
+    pad = jnp.maximum(first_hit, 0)  # all-zero rows when no hit (zeroed buffer)
+    return jnp.where(filled, out, pad)
 
 
 # ---------------------------------------------------------------------------
@@ -153,13 +174,23 @@ def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
       ascending distance with first-occurrence tie-breaking
       (``interpolate_gpu.cu:38-60`` uses strict ``<``).
     """
-    d2 = jnp.sum(
-        (unknown[:, :, None, :].astype(jnp.float32)
-         - known[:, None, :, :].astype(jnp.float32)) ** 2,
-        axis=-1,
-    )  # (B, N, M)
-    neg_d2, idx = lax.top_k(-d2, 3)
-    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+    m = known.shape[1]
+    d2 = pairwise_d2(unknown, known)  # (B, N, M)
+    lane = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+
+    def take_min(carry, _):
+        d = carry
+        mn = jnp.min(d, axis=-1, keepdims=True)
+        # first-occurrence argmin (strict < in the CUDA scan)
+        idx = jnp.min(jnp.where(d == mn, lane, m), axis=-1)
+        d = jnp.where(lane == idx[..., None], jnp.inf, d)
+        return d, (mn[..., 0], idx)
+
+    # 3 masked argmin passes beat a sort-based top_k at these shapes
+    _, (dists, idxs) = lax.scan(take_min, d2, None, length=3)
+    dist = jnp.moveaxis(dists, 0, -1)  # (B, N, 3)
+    idx = jnp.moveaxis(idxs, 0, -1)
+    return jnp.sqrt(jnp.maximum(dist, 0.0)), idx.astype(jnp.int32)
 
 
 def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:

@@ -1,0 +1,110 @@
+"""Training solver: epoch loop over mixed syn+real batches.
+
+Rebuild of the reference ``utils/solver.py:19-215`` on the functional train
+step: zip the CAMERA (syn) and REAL loaders, concatenate each pair of batches
+(``solver.py:163-174``), run one jitted DP train step (the reference's
+per-subset weighted loss equals the concatenated-batch loss — every term is a
+batch mean), log running averages every ``per_write`` iters, checkpoint every
+5 epochs with resume metadata.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from istnet_tpu.parallel import jit_train_step_dp, make_mesh, replicate, shard_batch
+from istnet_tpu.train import checkpoints
+from istnet_tpu.train.train_state import TrainState, create_train_state, make_train_step
+from istnet_tpu.utils.logging import LogBuffer, MetricWriter
+
+LABEL_KEYS = ("rotation_label", "translation_label", "size_label", "qo")
+INPUT_KEYS = ("rgb", "pts", "choose", "category_label", "qo")
+
+
+def split_batch(np_batch: dict) -> dict:
+    """numpy collated batch -> {'inputs': ..., 'labels': ...} for the step fn."""
+    inputs = {k: np_batch[k] for k in INPUT_KEYS if k in np_batch}
+    labels = {k: np_batch[k] for k in LABEL_KEYS if k in np_batch}
+    return {"inputs": inputs, "labels": labels}
+
+
+def concat_batches(a: dict, b: dict) -> dict:
+    return {k: np.concatenate([a[k], b[k]], axis=0)
+            for k in a if isinstance(a[k], np.ndarray)}
+
+
+class Solver:
+    def __init__(self, model, loss_fn, tx, cfg, variables,
+                 syn_loader=None, real_loader=None, logger=None,
+                 log_dir: str | None = None, start_epoch: int = 1,
+                 start_state: TrainState | None = None):
+        self.model = model
+        self.cfg = cfg
+        self.logger = logger
+        self.syn_loader = syn_loader
+        self.real_loader = real_loader
+        self.log_buffer = LogBuffer()
+        self.writer = MetricWriter(log_dir)
+        self.log_dir = log_dir
+        self.per_write = int(cfg.get("per_write", 50))
+        self.max_epoch = int(cfg.max_epoch)
+        self.iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
+        self.start_epoch = start_epoch
+
+        self.mesh = make_mesh()
+        step_fn = make_train_step(model, loss_fn, tx, cfg.bn)
+        self.train_step = jit_train_step_dp(step_fn, self.mesh)
+        state = start_state or create_train_state(
+            variables["params"], variables["batch_stats"], tx)
+        self.state = replicate(self.mesh, state)
+        self.rng = jax.random.PRNGKey(int(cfg.get("rd_seed", 1)))
+
+    def _log(self, msg: str) -> None:
+        if self.logger is not None:
+            self.logger.info(msg)
+        else:
+            print(msg)
+
+    def solve(self) -> TrainState:
+        for epoch in range(self.start_epoch, self.max_epoch + 1):
+            self.train_epoch(epoch)
+            if epoch % 5 == 0 and self.log_dir is not None:
+                checkpoints.save_checkpoint(
+                    f"{self.log_dir}/ckpt", epoch, jax.device_get(self.state))
+                self._log(f"saved checkpoint at epoch {epoch}")
+        return self.state
+
+    def train_epoch(self, epoch: int) -> None:
+        # epoch resampling (reference solver.py:80-81 -> dataset.reset())
+        for loader in (self.syn_loader, self.real_loader):
+            if loader is not None and getattr(loader.dataset, "num_img_per_epoch", -1) != -1:
+                loader.dataset.reset()
+
+        iters = zip(self.syn_loader, self.real_loader) if self.real_loader else (
+            (b, None) for b in self.syn_loader)
+        t_data0 = time.time()
+        for i, (syn_np, real_np) in enumerate(iters):
+            merged = concat_batches(syn_np, real_np) if real_np is not None else syn_np
+            batch = shard_batch(self.mesh, split_batch(merged))
+            t_data = time.time() - t_data0
+
+            self.rng, sub = jax.random.split(self.rng)
+            t0 = time.time()
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            loss = float(metrics["loss"])  # forces device sync
+            t_step = time.time() - t0
+
+            self.log_buffer.update(
+                {"loss": loss, "T_data": t_data, "T_step": t_step,
+                 **{k: float(v) for k, v in metrics.items() if k != "loss"}})
+            if (i + 1) % self.per_write == 0:
+                avg = self.log_buffer.average()
+                step = int(jax.device_get(self.state.step))
+                self._log(f"epoch {epoch} iter {i + 1}/{self.iters_per_epoch} "
+                          + " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())))
+                self.writer.add_scalars("train/", avg, step)
+                self.log_buffer.clear()
+            t_data0 = time.time()

@@ -53,7 +53,7 @@ def make_optimizer(cfg, iters_per_epoch: int, params: PyTree,
     """Adam + cyclic LR, with an optionally-frozen top-level subtree."""
     opt = cfg.optimizer
     max_epoch = cfg.max_epoch
-    step_size_up = int(max_epoch * iters_per_epoch / 6)  # solver.py:45
+    step_size_up = max(1, int(max_epoch * iters_per_epoch / 6))  # solver.py:45
 
     def lr_schedule(step):
         return cyclic_triangular_lr(step, base_lr=1e-5, max_lr=1e-3,

@@ -19,3 +19,22 @@ def test_fps_pallas_degenerate_cloud():
     xyz = jnp.zeros((2, 128, 3), jnp.float32)
     got = furthest_point_sample_pallas(xyz, 8, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), 0)
+
+
+def test_ball_query_pallas_matches_xla():
+    from istnet_tpu.ops.ball_query_pallas import ball_query_pallas
+    rng = np.random.RandomState(1)
+    xyz = jnp.asarray(rng.randn(3, 128, 3).astype(np.float32) * 0.2)
+    cent = xyz[:, :128]
+    for radius, ns in [(0.2, 8), (0.5, 16), (0.02, 4)]:
+        got = ball_query_pallas(radius, ns, xyz, cent, interpret=True)
+        want = xla_ops.ball_query(radius, ns, xyz, cent)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ball_query_pallas_no_hits():
+    from istnet_tpu.ops.ball_query_pallas import ball_query_pallas
+    xyz = jnp.ones((1, 128, 3), jnp.float32) * 50
+    cent = jnp.zeros((1, 128, 3), jnp.float32)
+    got = ball_query_pallas(0.1, 8, xyz, cent, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 0)
