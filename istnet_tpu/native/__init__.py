@@ -1,0 +1,66 @@
+"""Native C++ data-loader core (ctypes bindings).
+
+Builds to ``libistnet_native.so`` via ``make -C istnet_tpu/native`` (attempted
+automatically on first import). Currently exposes the fused multi-scale depth
+completion (the data pipeline's hot CPU op). Falls back silently to the
+numpy/cv2 implementation in ``istnet_tpu.data.depth_utils`` when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(here, "libistnet_native.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", here], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.fill_in_multiscale.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float]
+        lib.fill_in_multiscale.restype = None
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def fill_in_multiscale_native(depth: np.ndarray, max_depth: float = 3.0) -> np.ndarray:
+    """(H, W) float32 (meters) -> completed depth; raises if lib unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        raise RuntimeError("native core unavailable")
+    buf = np.ascontiguousarray(depth, np.float32).copy()
+    lib.fill_in_multiscale(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buf.shape[0], buf.shape[1], ctypes.c_float(max_depth))
+    return buf
+
+
+def fill_missing_native(dpt: np.ndarray, cam_scale: float, scale_2_80m: float) -> np.ndarray:
+    """Drop-in for ``depth_utils.fill_missing`` using the C++ core."""
+    scaled = (dpt / cam_scale * scale_2_80m).astype(np.float32)
+    out = fill_in_multiscale_native(scaled, 3.0)
+    return out / scale_2_80m * cam_scale
