@@ -222,6 +222,8 @@ class TrainingDataset:
 class TestDataset:
     """Per-image test data with Mask-RCNN detections (``dataset.py:299-433``)."""
 
+    __test__ = False  # not a pytest class
+
     def __init__(self, config, data_dir: str, seed: int | None = 0):
         self.data_dir = data_dir
         self.img_size = config.img_size

@@ -244,6 +244,107 @@ def ap_from_matches(pred_matches: np.ndarray, pred_scores: np.ndarray,
                   * precisions[..., 1:] * changed, axis=-1)
 
 
+def greedy_match_combination(overlaps: np.ndarray, errors: np.ndarray,
+                             degree_list: np.ndarray, shift_list: np.ndarray,
+                             iou_list: np.ndarray):
+    """Joint-threshold greedy match (evaluation_utils.py:252-336): preds in
+    score order scan gts by descending IoU; the scan BREAKS at the first gt
+    failing (iou >= t AND r_err <= d AND t_err <= s) — even if a later gt
+    would pass. Vectorized over the (D, S, I) threshold grid.
+
+    errors[..., 1] is the gt-scale-relative translation error
+    (evaluation_utils.py:246: ``shift = norm(T1-T2)/scale``).
+    """
+    p, g = overlaps.shape
+    d, s, t = len(degree_list), len(shift_list), len(iou_list)
+    gt_m = -np.ones((d, s, t, g))
+    pred_m = -np.ones((d, s, t, p))
+    for i in range(p):
+        order = np.argsort(overlaps[i])[::-1]
+        low = np.where(overlaps[i, order] < 0)[0]
+        if low.size:
+            order = order[:low[0]]
+        reachable = np.ones((d, s, t), bool)
+        for j in order:
+            iou = overlaps[i, j]
+            r_err, t_err = errors[i, j]
+            passes = ((iou >= iou_list[None, None, :])
+                      & (r_err <= degree_list[:, None, None])
+                      & (t_err <= shift_list[None, :, None]))
+            elig = (reachable & passes & (gt_m[:, :, :, j] == -1)
+                    & (pred_m[:, :, :, i] == -1))
+            gt_m[elig, j] = i
+            pred_m[elig, i] = j
+            reachable &= passes
+    return gt_m, pred_m
+
+
+def compute_combination_map(final_results: Sequence[dict],
+                            synset_names: Sequence[str] = SYNSET_NAMES,
+                            degree_thresholds: Sequence[float] = (5, 10, 15),
+                            shift_thresholds: Sequence[float] = (0.1, 0.2),
+                            iou_3d_thresholds: Sequence[float] = (0.1,),
+                            logger=None):
+    """Joint-threshold mAP (evaluation_utils.py:339-453): a prediction counts
+    only if IoU, rotation and (relative) translation thresholds hold
+    simultaneously. Returns aps (C+1, D, S, I)."""
+    num_classes = len(synset_names)
+    degree_list = np.asarray(list(degree_thresholds) + [360], np.float64)
+    shift_list = np.asarray(list(shift_thresholds) + [100], np.float64)
+    iou_list = np.asarray(list(iou_3d_thresholds), np.float64)
+
+    pm = [[] for _ in range(num_classes)]
+    sc = [[] for _ in range(num_classes)]
+    ngt = [0] * num_classes
+
+    for result in final_results:
+        gt_class_ids = np.asarray(result["gt_class_ids"], np.int32).reshape(-1)
+        gt_rts = np.asarray(result["gt_RTs"], np.float64).reshape(-1, 4, 4)
+        gt_scales = np.asarray(result["gt_scales"], np.float64).reshape(-1, 3)
+        gt_handle = np.asarray(result.get(
+            "gt_handle_visibility", np.ones_like(gt_class_ids))).reshape(-1)
+        pred_class_ids = np.asarray(result["pred_class_ids"], np.int32).reshape(-1)
+        pred_rts = np.asarray(result["pred_RTs"], np.float64).reshape(-1, 4, 4)
+        pred_scales = np.asarray(result["pred_scales"], np.float64).reshape(-1, 3)
+        pred_scores = np.asarray(result["pred_scores"], np.float64).reshape(-1)
+        if len(gt_class_ids) == 0 and len(pred_class_ids) == 0:
+            continue
+        for cls_id in range(1, num_classes):
+            gsel = gt_class_ids == cls_id
+            psel = pred_class_ids == cls_id
+            c_gt_rts, c_gt_scales = gt_rts[gsel], gt_scales[gsel]
+            c_pred_rts, c_pred_scales = pred_rts[psel], pred_scales[psel]
+            c_scores = pred_scores[psel]
+            name = synset_names[cls_id]
+            c_handle = gt_handle[gsel] if name == "mug" else np.ones(int(gsel.sum()))
+            order = np.argsort(c_scores)[::-1]
+            c_pred_rts, c_pred_scales = c_pred_rts[order], c_pred_scales[order]
+            c_scores = c_scores[order]
+            sym = np.asarray([(name in _Y_SYM_CLASSES)
+                              or (name == "mug" and h == 0) for h in c_handle], bool)
+            overlaps = compute_3d_iou_matrix(
+                c_pred_rts, c_pred_scales, c_gt_rts, c_gt_scales, sym)
+            errors = compute_rt_errors(c_pred_rts, c_gt_rts, sym)
+            if errors.size:  # relative shift: /(gt scale) instead of *100 cm
+                gscale = np.cbrt(np.linalg.det(c_gt_rts[:, :3, :3]))
+                errors = errors.copy()
+                errors[:, :, 1] = errors[:, :, 1] / 100.0 / gscale[None, :]
+            _, pred_match = greedy_match_combination(
+                overlaps, errors, degree_list, shift_list, iou_list)
+            pm[cls_id].append(pred_match)
+            sc[cls_id].append(c_scores)
+            ngt[cls_id] += len(c_gt_rts)
+
+    aps = np.zeros((num_classes + 1, len(degree_list), len(shift_list), len(iou_list)))
+    for cls_id in range(1, num_classes):
+        m = (np.concatenate(pm[cls_id], axis=-1) if pm[cls_id]
+             else np.zeros((len(degree_list), len(shift_list), len(iou_list), 0)))
+        s_ = np.concatenate(sc[cls_id]) if sc[cls_id] else np.zeros(0)
+        aps[cls_id] = ap_from_matches(m, s_, ngt[cls_id])
+    aps[-1] = aps[1:-1].mean(axis=0)
+    return aps
+
+
 # ---------------------------------------------------------------------------
 # full evaluation
 # ---------------------------------------------------------------------------

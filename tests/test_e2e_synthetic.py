@@ -1,0 +1,208 @@
+"""End-to-end on a synthetic on-disk NOCS-format dataset.
+
+Synthesizes the reference's exact file formats (color/depth/mask PNGs,
+_label.pkl, obj_models pkl, segmentation result pkls), then drives:
+
+  TrainingDataset -> DataLoader -> real jitted train step (loss decreases
+  finite), and TestDataset -> test_func -> result pkls -> evaluate().
+
+This is the pipeline the real NOCS data flows through; only pixels differ.
+"""
+
+import os
+import pickle
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from istnet_tpu.data import DataLoader, TestDataset, TrainingDataset
+from istnet_tpu.utils.config import Config
+
+IMG_SIZE = 48
+N_PTS = 128
+
+
+def _write_scene(img_dir, stem, n_inst=2, seed=0, coord=False):
+    rng = np.random.RandomState(seed)
+    os.makedirs(img_dir, exist_ok=True)
+    base = os.path.join(img_dir, stem)
+
+    color = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    cv2.imwrite(base + "_color.png", color)
+
+    depth = np.zeros((480, 640), np.uint16)
+    mask = np.full((480, 640, 3), 255, np.uint8)
+    bboxes = []
+    for inst in range(n_inst):
+        y0, x0 = 120 + 120 * inst, 160 + 150 * inst
+        depth[y0:y0 + 100, x0:x0 + 100] = 800 + 200 * inst
+        mask[y0 + 10:y0 + 90, x0 + 10:x0 + 90, 2] = inst + 1
+        bboxes.append([y0 + 10, x0 + 10, y0 + 90, x0 + 90])
+    depth[0:100] = 0
+    cv2.imwrite(base + "_depth.png", depth)
+    cv2.imwrite(base + "_mask.png", mask)
+    if coord:
+        cmap = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        cv2.imwrite(base + "_coord.png", cmap)
+
+    gts = {
+        "class_ids": [1 + inst for inst in range(n_inst)],
+        "instance_ids": [1 + inst for inst in range(n_inst)],
+        "model_list": [f"model_{i}" for i in range(n_inst)],
+        "bboxes": np.asarray(bboxes, np.int32),
+        "scales": np.asarray([1.0] * n_inst, np.float32),
+        "sizes": np.tile(np.asarray([0.1, 0.2, 0.1], np.float32), (n_inst, 1)),
+        "rotations": np.tile(np.eye(3, dtype=np.float32), (n_inst, 1, 1)),
+        "translations": np.asarray([[0.0, 0.0, 0.8 + 0.2 * i] for i in range(n_inst)],
+                                   np.float32),
+    }
+    with open(base + "_label.pkl", "wb") as f:
+        pickle.dump(gts, f)
+    return gts
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nocs")
+    data_dir = root / "data"
+
+    # -- Real train ---------------------------------------------------------
+    real_dir = data_dir / "Real" / "train" / "scene_1"
+    stems = ["0000", "0001"]
+    for i, stem in enumerate(stems):
+        _write_scene(str(real_dir), stem, seed=i)
+    with open(data_dir / "Real" / "train_list.txt", "w") as f:
+        f.writelines(f"train/scene_1/{s}\n" for s in stems)
+    models = {f"model_{i}": np.random.RandomState(i).rand(64, 3).astype(np.float32) - 0.5
+              for i in range(2)}
+    os.makedirs(data_dir / "obj_models", exist_ok=True)
+    with open(data_dir / "obj_models" / "real_train.pkl", "wb") as f:
+        pickle.dump(models, f)
+
+    # -- Real test + segmentation results ------------------------------------
+    test_dir = data_dir / "data" / "Real" / "test" / "scene_1"
+    seg_dir = data_dir / "data" / "segmentation_results" / "test_trainedwithMask"
+    os.makedirs(seg_dir, exist_ok=True)
+    for i, stem in enumerate(stems):
+        gts = _write_scene(str(test_dir), stem, seed=10 + i, coord=True)
+        n = len(gts["class_ids"])
+        pred_masks = np.zeros((480, 640, n), np.uint8)
+        for j, (y0, x0, y1, x1) in enumerate(gts["bboxes"]):
+            pred_masks[y0:y1, x0:x1, j] = 1
+        rts = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        rts[:, :3, 3] = gts["translations"]
+        result = {
+            "image_path": f"data/real/test/scene_1/{stem}",
+            "pred_masks": pred_masks,
+            "pred_class_ids": np.asarray(gts["class_ids"]),
+            "pred_bboxes": gts["bboxes"],
+            "pred_scores": np.ones(n, np.float32),
+            "gt_class_ids": np.asarray(gts["class_ids"]),
+            "gt_bboxes": gts["bboxes"],
+            "gt_RTs": rts,
+            "gt_scales": np.tile(np.asarray([0.1, 0.2, 0.1], np.float32), (n, 1)),
+            "gt_handle_visibility": np.ones(n, np.int64),
+        }
+        with open(seg_dir / f"results_test_scene_1_{stem}.pkl", "wb") as f:
+            pickle.dump(result, f)
+    return str(data_dir)
+
+
+def _cfg():
+    return Config({"img_size": IMG_SIZE, "sample_num": N_PTS, "shift_range": 0.01,
+                   "use_shape_aug": True, "aug_bb_pro": 0.3, "aug_rt_pro": 0.3,
+                   "aug_bc_pro": 0.0, "aug_pc_pro": 0.0, "aug_pc_r": 0.002,
+                   "aug_nl_pro": 0.0})
+
+
+def test_training_dataset_and_step(synthetic_root):
+    ds = TrainingDataset(_cfg(), synthetic_root, data_type="real_withLabel",
+                         num_img_per_epoch=4, seed=0)
+    ds.reset()
+    sample = ds[0]
+    assert sample["pts"].shape == (N_PTS, 3)
+    assert sample["rgb"].shape == (IMG_SIZE, IMG_SIZE, 3)
+    assert sample["qo"].shape == (N_PTS, 3)
+    assert 0 <= int(sample["choose"].max()) < IMG_SIZE * IMG_SIZE
+    assert np.isfinite(sample["pts"]).all() and np.isfinite(sample["qo"]).all()
+
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    batch = batches[0]
+    assert batch["pts"].shape == (2, N_PTS, 3)
+
+    # one real train step over the loaded batch
+    from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+    from istnet_tpu.train.train_state import (create_train_state, make_optimizer,
+                                              make_train_step)
+
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    inputs = {k: jnp.asarray(batch[k]) for k in
+              ("rgb", "pts", "choose", "category_label", "qo")}
+    labels = {k: jnp.asarray(batch[k]) for k in
+              ("rotation_label", "translation_label", "size_label", "qo")}
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs, train=True)
+    cfg = Config({"optimizer": {"name": "Adam", "lr": 0.01, "betas": [0.5, 0.999],
+                                "eps": 1e-6, "weight_decay": 0},
+                  "max_epoch": 1,
+                  "bn": {"bn_momentum": 0.9, "bn_decay": 0.5, "decay_step": 4000,
+                         "bnm_clip": 0.01}})
+    tx, _ = make_optimizer(cfg, 4000, variables["params"])
+    step = jax.jit(make_train_step(
+        model, lambda e, l: supervised_loss(e, l, 1.0, 10.0, False), tx, cfg.bn))
+    state = create_train_state(variables["params"], variables["batch_stats"], tx)
+    state, metrics = step(state, {"inputs": inputs, "labels": labels},
+                          jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_test_dataset_and_full_eval(synthetic_root, tmp_path):
+    from istnet_tpu.eval.nocs_map import evaluate
+    from istnet_tpu.eval.test_loop import test_func
+    from istnet_tpu.models.ist_net import ISTNet
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root)
+    assert len(ds) == 2
+    data = ds[0]
+    assert not data["empty"]
+    assert data["pts"].shape[1:] == (N_PTS, 3)
+    assert data["nocs"].shape == data["pts"].shape
+
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {
+        "rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+        "pts": jnp.zeros((1, N_PTS, 3)),
+        "choose": jnp.zeros((1, N_PTS), jnp.int32),
+        "category_label": jnp.zeros((1,), jnp.int32),
+        "qo": jnp.zeros((1, N_PTS, 3)),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    eval_vars = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def forward(inputs):
+        return model.apply(eval_vars, inputs, train=False)
+
+    save = str(tmp_path / "results")
+    test_func(forward, ds, save, progress=False, max_bucket=4)
+
+    pkls = sorted(os.listdir(save))
+    assert len(pkls) == 2
+    with open(os.path.join(save, pkls[0]), "rb") as f:
+        result = pickle.load(f)
+    assert result["pred_RTs"].shape[1:] == (4, 4)
+    # normalized sizes: unit norm
+    np.testing.assert_allclose(np.linalg.norm(result["pred_scales"], axis=1), 1.0,
+                               rtol=1e-5)
+
+    iou_aps, pose_aps = evaluate(save, plot_figure=False)
+    assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()

@@ -260,3 +260,36 @@ def test_full_map_pipeline_random_end_to_end():
     assert (pose_aps >= 0).all() and (pose_aps <= 1).all()
     # noisy-translation copies should be near-perfect at loose thresholds
     assert iou_aps[-1, 0] > 0.5
+
+
+def test_combination_map_perfect_predictions():
+    rng = np.random.RandomState(7)
+    results = []
+    for _ in range(3):
+        rts = np.stack([_random_rt(rng, 0.2) for _ in range(2)])
+        scales = rng.uniform(0.3, 1.0, (2, 3))
+        cls = np.asarray([1, 3])
+        results.append({
+            "gt_class_ids": cls, "gt_RTs": rts, "gt_scales": scales,
+            "gt_handle_visibility": np.ones(2),
+            "pred_class_ids": cls, "pred_RTs": rts.copy(),
+            "pred_scales": scales.copy(), "pred_scores": np.ones(2),
+        })
+    aps = nm.compute_combination_map(results, nm.SYNSET_NAMES,
+                                     degree_thresholds=[5, 10],
+                                     shift_thresholds=[0.1],
+                                     iou_3d_thresholds=[0.25, 0.5])
+    assert aps.shape == (8, 3, 2, 2)  # (BG + 6 classes + mean, D+1, S+1, I)
+    assert np.isclose(aps[1, 0, 0, 1], 1.0)  # bottle @ 5deg/0.1rel/IoU50
+    assert np.isclose(aps[-1, 0, 0, 1], 2.0 / 6)
+
+
+def test_combination_break_semantics():
+    """A high-IoU gt failing the rotation test must BLOCK later gts
+    (reference break at evaluation_utils.py:325-327)."""
+    overlaps = np.array([[0.9, 0.6]], np.float32)
+    # first gt (by IoU): rotation error 50deg (fails 5deg); second would pass
+    errors = np.array([[[50.0, 0.01], [1.0, 0.01]]], np.float32)
+    gt_m, pred_m = nm.greedy_match_combination(
+        overlaps, errors, np.asarray([5.0]), np.asarray([0.1]), np.asarray([0.25]))
+    assert pred_m[0, 0, 0, 0] == -1  # blocked despite gt 1 passing
