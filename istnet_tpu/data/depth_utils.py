@@ -156,11 +156,48 @@ def fill_in_multiscale(depth_map: np.ndarray, max_depth: float = 3.0,
     return out
 
 
+def fill_in_fast(depth_map: np.ndarray, max_depth: float = 100.0,
+                 extrapolate: bool = False, blur_type: str = "bilateral") -> np.ndarray:
+    """Single-scale fast completion (``data_utils.py:134-198``)."""
+    diamond5 = np.array([[0, 0, 1, 0, 0], [0, 1, 1, 1, 0], [1, 1, 1, 1, 1],
+                         [0, 1, 1, 1, 0], [0, 0, 1, 0, 0]], np.uint8)
+    full7 = np.ones((7, 7), np.uint8)
+    d = depth_map.astype(np.float32).copy()
+    valid = d > 0.1
+    d[valid] = max_depth - d[valid]
+    d = cv2.dilate(d, diamond5)
+    d = cv2.morphologyEx(d, cv2.MORPH_CLOSE, FULL_KERNEL_5)
+    empty = d < 0.1
+    dil = cv2.dilate(d, full7)
+    d[empty] = dil[empty]
+    if extrapolate:
+        top = np.argmax(d > 0.1, axis=0)
+        vals = d[top, range(d.shape[1])]
+        for c in range(d.shape[1]):
+            d[:top[c], c] = vals[c]
+        empty = d < 0.1
+        dil = cv2.dilate(d, np.ones((31, 31), np.uint8))
+        d[empty] = dil[empty]
+    d = cv2.medianBlur(d, 5)
+    if blur_type == "bilateral":
+        d = cv2.bilateralFilter(d, 5, 1.5, 2.0)
+    else:
+        valid = d > 0.1
+        blurred = cv2.GaussianBlur(d, (5, 5), 0)
+        d[valid] = blurred[valid]
+    valid = d > 0.1
+    d[valid] = max_depth - d[valid]
+    return d
+
+
 def fill_missing(dpt: np.ndarray, cam_scale: float, scale_2_80m: float,
-                 blur_type: str = "bilateral") -> np.ndarray:
-    """Wrapper matching ``data_utils.py:514-534`` (multiscale, max_depth=3)."""
+                 blur_type: str = "bilateral", fill_type: str = "multiscale") -> np.ndarray:
+    """Wrapper matching ``data_utils.py:514-534`` (multiscale default, max_depth=3)."""
     dpt = dpt / cam_scale * scale_2_80m
-    out = fill_in_multiscale(dpt.astype(np.float32), max_depth=3.0, blur_type=blur_type)
+    if fill_type == "fast":
+        out = fill_in_fast(dpt.astype(np.float32), extrapolate=False, blur_type=blur_type)
+    else:
+        out = fill_in_multiscale(dpt.astype(np.float32), max_depth=3.0, blur_type=blur_type)
     return out / scale_2_80m * cam_scale
 
 
