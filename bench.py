@@ -1,23 +1,27 @@
 """Benchmark: object pose inferences/sec/chip (REAL275-shaped inputs).
 
 Measures the flagship ISTNet eval forward (the exact graph test.py runs per
-instance batch) on the real TPU chip at production shapes: batch 32 instance
-crops, 1024 points, 192x192 RGB. Prints ONE JSON line:
+instance batch, incl. the sparse point-decode head) on the real TPU chip at
+production shapes (1024 points, 192x192 crops), at batch 32 (BASELINE
+config #2's batched-inference setting) and at the peak-throughput batch 128
+(serving-style). Prints ONE JSON line; the primary value is the peak
+throughput, with the batch-32 number included for transparency:
 
     {"metric": "object pose inferences/sec/chip", "value": N,
-     "unit": "inferences/sec", "vs_baseline": R}
+     "unit": "inferences/sec", "vs_baseline": R, "batch": 128,
+     "b32_value": M}
 
 Baseline note: the reference (CVMI-Lab/IST-Net) publishes NO throughput
-numbers (BASELINE.md), and its CUDA stack cannot run in this TPU-only
+numbers (BASELINE.md) and its CUDA stack cannot run in this TPU-only
 environment, so a measured head-to-head is impossible here. ``REF_ESTIMATE``
-is a documented engineering estimate of the torch+CUDA reference at batch-32
-inference on an RTX-3090-class GPU: ~65 GFLOP/instance forward at a typical
-30-40% fp32 utilization plus its per-op kernel-launch overhead (8 SA groupers
-+ 4 FP stages per PointNet2MSG) ≈ 120 inferences/sec. vs_baseline = value /
-REF_ESTIMATE; the BASELINE.json target is vs_baseline >= 5.
+is a documented engineering estimate of the torch reference at its OWN best
+batch on an RTX-3090-class GPU: ~65 GFLOP/instance forward at 35-45% fp32
+utilization minus the per-op launch overhead of its ~100-kernel forward
+(8 SA groupers + 4 FP stages per PointNet2MSG alone) ≈ 150 inferences/sec.
+vs_baseline = value / REF_ESTIMATE; the BASELINE.json target is >= 5.
 
 Timing methodology: the axon tunnel's ``block_until_ready`` does not actually
-block (verified — it reports 260x fiction), so every timed iteration forces a
+block (verified: reports 260x fiction), so every timed iteration forces a
 device-to-host read of one output scalar.
 """
 
@@ -26,10 +30,20 @@ import time
 
 import numpy as np
 
-REF_ESTIMATE = 120.0  # est. reference CUDA throughput, inferences/sec (see docstring)
-BATCH = 32
+REF_ESTIMATE = 150.0  # est. reference CUDA throughput at its best batch (docstring)
 WARMUP = 3
-ITERS = 20
+ITERS = 15
+
+
+def _throughput(jfn, args, batch: int) -> float:
+    for _ in range(WARMUP):
+        out = jfn(*args)
+        _ = np.asarray(out["pred_translation"])[0, 0]  # forced D2H sync
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = jfn(*args)
+        _ = np.asarray(out["pred_translation"])[0, 0]
+    return batch / ((time.perf_counter() - t0) / ITERS)
 
 
 def main() -> None:
@@ -50,25 +64,22 @@ def main() -> None:
 
     import __graft_entry__ as g
 
-    fn, args = g.entry()
+    fn, args32 = g.entry()
     jfn = jax.jit(fn)
+    b32 = _throughput(jfn, args32, 32)
 
-    for _ in range(WARMUP):
-        out = jfn(*args)
-        _ = np.asarray(out["pred_translation"])[0, 0]  # forced D2H sync
+    inputs128 = g._make_inputs(b=128, n=1024, img=192, train=False)
+    args128 = (args32[0], args32[1], inputs128)
+    b128 = _throughput(jfn, args128, 128)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = jfn(*args)
-        _ = np.asarray(out["pred_translation"])[0, 0]
-    dt = (time.perf_counter() - t0) / ITERS
-
-    value = BATCH / dt
+    value = max(b32, b128)
     print(json.dumps({
         "metric": "object pose inferences/sec/chip",
         "value": round(value, 1),
         "unit": "inferences/sec",
         "vs_baseline": round(value / REF_ESTIMATE, 3),
+        "batch": 128 if b128 >= b32 else 32,
+        "b32_value": round(b32, 1),
     }))
 
 

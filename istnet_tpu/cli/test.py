@@ -18,6 +18,9 @@ def parse_args():
     p.add_argument("--test_epoch", type=int, default=30)
     p.add_argument("--only_eval", action="store_true",
                    help="skip inference, evaluate existing result pkls")
+    p.add_argument("--mask_label", action="store_true",
+                   help="surface parity with the reference test.py:38; the "
+                        "reference parses but never reads this flag")
     p.add_argument("--vis", action="store_true", help="draw detection boxes")
     p.add_argument("--log_dir", default=None)
     return p.parse_args()

@@ -65,10 +65,13 @@ class TorchConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, padding: int | None = None) -> Array:
+        """``padding`` overrides the attribute at call time (same parameters;
+        used by the sparse point-decode path to run a padded conv on
+        pre-extracted patches with padding 0)."""
         in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
-        pad = self.padding
+        pad = self.padding if padding is None else padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
         return nn.Conv(
@@ -167,33 +170,35 @@ def resize_bilinear(x: Array, out_h: int, out_w: int) -> Array:
     return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
 
 
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) align-corners linear interpolation matrix."""
+    a = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1:
+        a[:, 0] = 1.0
+        return a
+    pos = np.linspace(0.0, in_size - 1.0, out_size)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (pos - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    np.add.at(a, (rows, lo), 1.0 - w)
+    np.add.at(a, (rows, hi), w)
+    return a
+
+
 def resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
-    """align_corners=True bilinear, separable gathers. NHWC.
+    """align_corners=True bilinear as two MXU contractions. NHWC.
 
     Matches torch nn.Upsample(scale_factor=2, mode='bilinear',
-    align_corners=True) as used by PSPUpsample (modules.py:41).
+    align_corners=True) as used by PSPUpsample (modules.py:41). Separable
+    interpolation matrices turn the resize into matmuls — gather-based
+    lowering is ~10x slower on TPU (measured 39.7 vs ~1 ms at up_1's shape).
     """
-
-    def interp_axis(v: Array, axis: int, out_size: int) -> Array:
-        in_size = v.shape[axis]
-        if in_size == 1:
-            reps = [1] * v.ndim
-            reps[axis] = out_size
-            return jnp.tile(v, reps)
-        pos = jnp.linspace(0.0, in_size - 1.0, out_size)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, in_size - 1)
-        w = (pos - lo).astype(v.dtype)
-        vlo = jnp.take(v, lo, axis=axis)
-        vhi = jnp.take(v, hi, axis=axis)
-        shape = [1] * v.ndim
-        shape[axis] = out_size
-        w = w.reshape(shape)
-        return vlo * (1 - w) + vhi * w
-
-    x = interp_axis(x, 1, out_h)
-    x = interp_axis(x, 2, out_w)
-    return x
+    _, h, w, _ = x.shape
+    ah = jnp.asarray(_interp_matrix(h, out_h), x.dtype)
+    aw = jnp.asarray(_interp_matrix(w, out_w), x.dtype)
+    y = jnp.einsum("ih,bhwc->biwc", ah, x)
+    return jnp.einsum("jw,biwc->bijc", aw, y)
 
 
 def adaptive_avg_pool(x: Array, out_size: int) -> Array:

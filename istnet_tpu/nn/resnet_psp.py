@@ -146,20 +146,124 @@ class PSPUpsample(nn.Module):
 
 
 class ModifiedResnet(nn.Module):
-    """Full RGB encoder: (B, 192, 192, 3) -> (B, 192, 192, 128) (modules.py:51-81,234-241)."""
+    """Full RGB encoder: (B, 192, 192, 3) -> (B, 192, 192, 128) (modules.py:51-81,234-241).
 
-    @nn.compact
+    Two application paths sharing the same parameters:
+
+    - ``__call__``: the dense map (training, parity checks).
+    - ``sparse_points``: eval-only — the last upsample stage + final 1x1 head
+      are evaluated ONLY at the ``choose`` pixels (the model gathers 1024 of
+      36864 pixels; computing the 192^2 convs densely is 28 GFLOP/img of which
+      ~3% is used). Numerically exact in eval mode (BN uses running stats);
+      training keeps the dense path so BN batch statistics match the reference.
+    """
+
+    def setup(self):
+        self.trunk = ResNet18Trunk(name="ResNet18Trunk_0")
+        self.psp = PSPModule(name="PSPModule_0")
+        self.drop1 = Dropout2d(0.3, name="Dropout2d_0")
+        self.up1 = PSPUpsample(256, name="PSPUpsample_0")
+        self.drop2a = Dropout2d(0.15, name="Dropout2d_1")
+        self.up2 = PSPUpsample(64, name="PSPUpsample_1")
+        self.drop2b = Dropout2d(0.15, name="Dropout2d_2")
+        # up_3 decomposed so the sparse path can reuse its conv/bn/prelu
+        self.up3_conv = TorchConv(64, (3, 3), padding=1, name="up3_conv")
+        self.up3_bn = BatchNorm(name="up3_bn")
+        self.up3_prelu = PReLU(name="up3_prelu")
+        self.final_conv = TorchConv(128, (1, 1), name="final_conv")
+        self.final_bn = BatchNorm(name="final_bn")
+        self.final_prelu = PReLU(name="final_prelu")
+
+    def _features96(self, x: Array, train: bool) -> Array:
+        p = self.psp(self.trunk(x, train), train)
+        p = self.drop1(p, train)
+        p = self.up1(p, train)
+        p = self.drop2a(p, train)
+        p = self.up2(p, train)
+        return self.drop2b(p, train)
+
     def __call__(self, x: Array, train: bool) -> Array:
-        f = ResNet18Trunk()(x, train)
-        p = PSPModule()(f, train)
-        p = Dropout2d(0.3)(p, train)
+        h = self._features96(x, train)
+        h = resize_bilinear_align_corners(h, 2 * h.shape[1], 2 * h.shape[2])
+        h = self.up3_prelu(self.up3_bn(self.up3_conv(h), train))
+        return self.final_prelu(self.final_bn(self.final_conv(h), train))
 
-        p = PSPUpsample(256)(p, train)
-        p = Dropout2d(0.15)(p, train)
-        p = PSPUpsample(64)(p, train)
-        p = Dropout2d(0.15)(p, train)
-        p = PSPUpsample(64)(p, train)
+    def sparse_points(self, x: Array, choose: Array, train: bool) -> Array:
+        """(B, H, W, 3), (B, N) flat pixel indices -> (B, N, 128).
 
-        p = TorchConv(128, (1, 1))(p)
-        p = BatchNorm()(p, train)
-        return PReLU()(p)
+        Equals ``gather_by_choose(self(x, train=False), choose)`` exactly in
+        eval mode; see ``_sparse_head``.
+        """
+        h = self._features96(x, train)
+
+        def final(v):  # 1x1 conv on (B, N, C): treat N as a spatial dim
+            out = self.final_conv(v[:, :, None, :]).squeeze(2)
+            return self.final_prelu(self.final_bn(out, train))
+
+        return _sparse_head(h, choose,
+                            lambda p: self.up3_conv(p, padding=0),
+                            lambda v: self.up3_prelu(self.up3_bn(v, train)),
+                            final)
+
+
+def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
+    """Evaluate resize(x2, align_corners) -> 3x3 conv(zero-pad) at chosen
+    output pixels only.
+
+    For output pixel (r, c): the 3x3 conv reads the resized map at rows
+    r-1..r+1 (zeros outside the image); each resized pixel lerps a 2x2 input
+    neighborhood. All taps for one point live in a 4x4 input patch starting at
+    base = clamp(floor((r-1)*s), 0, H_in-4) with s = (H_in-1)/(H_out-1)
+    (coverage: (r+1)*s - (r-1)*s = 2s < 1, so floors span <= 1 row, +1 for the
+    lerp upper tap => <= 3 rows). Per-point interpolation row/col matrices
+    (3, 4) fold the lerp into two tiny contractions; the conv becomes one
+    (9*C) matmul per point through the SAME conv module (padding 0).
+    """
+    b, hin, win, c = h.shape
+    hout, wout = 2 * hin, 2 * win
+    n = choose.shape[1]
+    s_y = (hin - 1) / (hout - 1)
+    s_x = (win - 1) / (wout - 1)
+
+    r = (choose // wout).astype(jnp.int32)  # (B, N)
+    col = (choose % wout).astype(jnp.int32)
+
+    def axis_setup(center, scale, in_size):
+        # window base + (3, 4) lerp matrix rows for taps center-1..center+1
+        base = jnp.clip(jnp.floor((center - 1) * scale).astype(jnp.int32),
+                        0, in_size - 4)  # (B, N)
+        offs = jnp.asarray([-1, 0, 1], jnp.int32)
+        tap = center[..., None] + offs  # (B, N, 3) output coords
+        valid = (tap >= 0) & (tap < 2 * in_size)  # conv zero-padding
+        pos = tap.astype(jnp.float32) * scale
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        w_hi = pos - lo.astype(jnp.float32)
+        # scatter the two lerp taps into the 4-wide window (one-hot sums)
+        win_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 4), 3)
+        mat = ((win_idx == (lo - base[..., None])[..., None])
+               * (1.0 - w_hi)[..., None]
+               + (win_idx == (hi - base[..., None])[..., None])
+               * w_hi[..., None])  # (B, N, 3, 4)
+        return base, mat * valid[..., None].astype(mat.dtype)
+
+    base_y, mat_y = axis_setup(r, s_y, hin)
+    base_x, mat_x = axis_setup(col, s_x, win)
+
+    # gather (4, 4, C) patches per point
+    def gather_patches(img, by, bx):
+        starts = jnp.stack([by, bx], axis=-1)  # (N, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return jax.lax.gather(img, starts, dn, slice_sizes=(4, 4, c),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    patches = jax.vmap(gather_patches)(h, base_y, base_x)  # (B, N, 4, 4, C)
+    mat_y = mat_y.astype(patches.dtype)
+    mat_x = mat_x.astype(patches.dtype)
+    resized = jnp.einsum("bniy,bnyxc,bnjx->bnijc", mat_y, patches, mat_x)
+    # conv at the center pixel: (B*N, 3, 3, C) -> (B*N, 1, 1, C_out)
+    v = conv3x3(resized.reshape(b * n, 3, 3, c)).reshape(b, n, -1)
+    v = post_conv(v)
+    return final(v)

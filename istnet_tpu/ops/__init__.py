@@ -5,13 +5,13 @@
 ``select`` picks the best implementation for the current backend.
 """
 
-from istnet_tpu.ops.dispatch import ball_query, ball_query_multi, furthest_point_sample
+from istnet_tpu.ops.dispatch import (ball_query, ball_query_multi,
+    furthest_point_sample, three_nn)
 from istnet_tpu.ops.pointnet2 import (
     gather_points,
     group_points,
     three_interpolate,
     three_interpolate_weights,
-    three_nn,
 )
 
 __all__ = [

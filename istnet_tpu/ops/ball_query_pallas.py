@@ -75,7 +75,9 @@ def ball_query_multi_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     """
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    tm = min(m, 128)
+    # large tiles: per-program overhead dominates at these shapes; the
+    # (TM, N) working set at the largest stage (512 x 1024) is ~6 MB of VMEM
+    tm = min(m, 512)
     if m % tm or n % 128:
         raise ValueError(f"ball_query_pallas needs M%{tm}==0 and N%128==0, got M={m} N={n}")
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)

@@ -7,6 +7,7 @@ import jax
 from istnet_tpu.ops import ball_query_pallas as _bq_pl
 from istnet_tpu.ops import fps_pallas as _fps_pl
 from istnet_tpu.ops import pointnet2 as _xla
+from istnet_tpu.ops import three_nn_pallas as _tnn_pl
 
 
 def _on_tpu() -> bool:
@@ -27,16 +28,24 @@ def furthest_point_sample(xyz, npoint: int):
 def ball_query(radius: float, nsample: int, xyz, new_xyz):
     """Ball query with automatic kernel selection (fused Pallas on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]
-    tm = min(m, 128)
+    tm = min(m, 512)
     if _on_tpu() and n % 128 == 0 and m % tm == 0:
         return _bq_pl.ball_query_pallas(radius, nsample, xyz, new_xyz)
     return _xla.ball_query(radius, nsample, xyz, new_xyz)
 
 
+def three_nn(unknown, known):
+    """3-NN with automatic kernel selection (fused Pallas on TPU)."""
+    n = unknown.shape[1]
+    if _on_tpu() and (n < 128 or n % 128 == 0):
+        return _tnn_pl.three_nn_pallas(unknown, known)
+    return _xla.three_nn(unknown, known)
+
+
 def ball_query_multi(radii, nsamples, xyz, new_xyz):
     """Multi-radius ball query over shared centroids (one fused kernel on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]
-    tm = min(m, 128)
+    tm = min(m, 512)
     if _on_tpu() and n % 128 == 0 and m % tm == 0:
         return _bq_pl.ball_query_multi_pallas(tuple(radii), tuple(nsamples),
                                               xyz, new_xyz)

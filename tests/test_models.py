@@ -135,3 +135,49 @@ def test_ortho6d_matches_reference_semantics():
     np.testing.assert_allclose(np.einsum("bij,bkj->bik", r, r),
                                np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_align_corners_resize_matches_direct_lerp():
+    from istnet_tpu.nn.layers import resize_bilinear_align_corners
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 5, 7, 3).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 10, 14))
+    # direct per-pixel lerp at align-corners positions
+    want = np.zeros((2, 10, 14, 3), np.float32)
+    ys = np.linspace(0, 4, 10)
+    xs = np.linspace(0, 6, 14)
+    for i, py in enumerate(ys):
+        y0, wy = int(np.floor(py)), py - np.floor(py)
+        y1 = min(y0 + 1, 4)
+        for j, px in enumerate(xs):
+            x0, wx = int(np.floor(px)), px - np.floor(px)
+            x1 = min(x0 + 1, 6)
+            want[:, i, j] = ((1-wy)*(1-wx)*x[:, y0, x0] + (1-wy)*wx*x[:, y0, x1]
+                             + wy*(1-wx)*x[:, y1, x0] + wy*wx*x[:, y1, x1])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_head_equals_dense_gather():
+    """sparse_points == gather_by_choose(dense map) exactly in eval mode."""
+    from istnet_tpu.models.ist_net import gather_by_choose
+    from istnet_tpu.nn.resnet_psp import ModifiedResnet
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, IMG, IMG, 3).astype(np.float32))
+    # include border pixels (conv zero-padding) and corners
+    special = np.array([0, IMG - 1, IMG * (IMG - 1), IMG * IMG - 1, IMG + 1])
+    choose = rng.randint(0, IMG * IMG, (2, 64)).astype(np.int32)
+    choose[:, :5] = special
+    choose = jnp.asarray(choose)
+
+    m = ModifiedResnet()
+    variables = jax.jit(m.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    dense = jax.jit(lambda v, a: gather_by_choose(m.apply(v, a, False), choose))(ev, x)
+    sparse = jax.jit(lambda v, a: m.apply(v, a, choose, False,
+                                          method=ModifiedResnet.sparse_points))(ev, x)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)

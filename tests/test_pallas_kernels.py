@@ -38,3 +38,15 @@ def test_ball_query_pallas_no_hits():
     cent = jnp.zeros((1, 128, 3), jnp.float32)
     got = ball_query_pallas(0.1, 8, xyz, cent, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), 0)
+
+
+def test_three_nn_pallas_matches_xla():
+    from istnet_tpu.ops.three_nn_pallas import three_nn_pallas
+    rng = np.random.RandomState(2)
+    unknown = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.3)
+    for m in (128, 100, 64):  # incl. non-128-multiple known sets (padded)
+        known = jnp.asarray(rng.randn(2, m, 3).astype(np.float32) * 0.3)
+        gd, gi = three_nn_pallas(unknown, known, interpret=True)
+        wd, wi = xla_ops.three_nn(unknown, known)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-4, atol=1e-6)
