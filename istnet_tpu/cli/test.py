@@ -52,7 +52,8 @@ def main():
             precision.set_compute_dtype(jnp.bfloat16)
 
         model = ISTNet(nclass=cfg.num_category,
-                       freeze_world_enhancer=bool(cfg.get("freeze_world_enhancer", False)))
+                       freeze_world_enhancer=bool(cfg.get("freeze_world_enhancer", False)),
+                       sa_npoints=tuple(cfg.get("sa_npoints", (512, 256, 128, 64))))
         payload = checkpoints.restore_for_eval(
             os.path.join(log_dir, "ckpt"), args.test_epoch)
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}

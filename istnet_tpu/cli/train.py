@@ -35,9 +35,11 @@ def build_model(cfg):
     from istnet_tpu.models.posenet_gt import supervised_loss as posenet_loss
 
     arch = cfg.get("model_arch", "ist_net")
+    sa_npoints = tuple(cfg.get("sa_npoints", (512, 256, 128, 64)))
     if arch == "ist_net":
         freeze = bool(cfg.get("freeze_world_enhancer", False))
-        model = ISTNet(nclass=cfg.num_category, freeze_world_enhancer=freeze)
+        model = ISTNet(nclass=cfg.num_category, freeze_world_enhancer=freeze,
+                       sa_npoints=sa_npoints)
 
         def loss_fn(end_points, labels):
             return supervised_loss(end_points, labels,
@@ -47,7 +49,7 @@ def build_model(cfg):
 
         return model, loss_fn, ("world_enhancer" if freeze else None)
     if arch == "posenet_gt":
-        return PoseNetGT(nclass=cfg.num_category), posenet_loss, None
+        return PoseNetGT(nclass=cfg.num_category, sa_npoints=sa_npoints), posenet_loss, None
     raise ValueError(f"unknown model_arch {arch}")
 
 
@@ -142,14 +144,12 @@ def main():
                              drop_last=bool(dl_cfg.drop_last),
                              num_workers=int(dl_cfg.num_workers))
 
-    if args.devices is not None:
-        logger.info(f"using first {args.devices} of {jax.device_count()} devices")
-
     solver = Solver(model, loss_fn, tx, cfg,
                     {"params": params, "batch_stats": batch_stats},
                     syn_loader=syn_loader, real_loader=real_loader,
                     logger=logger, log_dir=log_dir,
-                    start_epoch=start_epoch, start_state=start_state)
+                    start_epoch=start_epoch, start_state=start_state,
+                    n_devices=args.devices)
     solver.solve()
 
 

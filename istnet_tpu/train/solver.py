@@ -40,7 +40,8 @@ class Solver:
     def __init__(self, model, loss_fn, tx, cfg, variables,
                  syn_loader=None, real_loader=None, logger=None,
                  log_dir: str | None = None, start_epoch: int = 1,
-                 start_state: TrainState | None = None):
+                 start_state: TrainState | None = None,
+                 n_devices: int | None = None):
         self.model = model
         self.cfg = cfg
         self.logger = logger
@@ -54,7 +55,17 @@ class Solver:
         self.iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
         self.start_epoch = start_epoch
 
-        self.mesh = make_mesh()
+        # mesh size must divide the global batch (batch dim is sharded);
+        # shrink to the largest usable device count
+        global_bs = sum(l.batch_size for l in (syn_loader, real_loader)
+                        if l is not None) or 1
+        nd = min(n_devices or jax.device_count(), jax.device_count())
+        while global_bs % nd:
+            nd -= 1
+        if logger is not None and nd != jax.device_count():
+            logger.info(f"using {nd}/{jax.device_count()} devices "
+                        f"(global batch {global_bs})")
+        self.mesh = make_mesh(nd)
         step_fn = make_train_step(model, loss_fn, tx, cfg.bn)
         self.train_step = jit_train_step_dp(step_fn, self.mesh)
         state = start_state or create_train_state(
