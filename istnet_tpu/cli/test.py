@@ -82,9 +82,6 @@ def main():
                 with open(os.path.join(save_path, os.path.basename(
                         dataset.result_pkl_list[i])), "rb") as f:
                     result = pickle.load(f)
-                # absolute box size = normalized size * scale, scale = cbrt(det(sR))
-                scale = np.cbrt(np.linalg.det(result["pred_RTs"][:, :3, :3]))
-                sizes = result["pred_scales"] * scale[:, None]
                 draw_detections(data["ori_img"].copy(), vis_dir, "real", i, k,
                                 result["pred_RTs"], result["pred_scales"],
                                 result["pred_class_ids"],

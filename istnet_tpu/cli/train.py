@@ -25,6 +25,10 @@ def parse_args():
                    help="number of mesh devices (default: all)")
     p.add_argument("--checkpoint_epoch", type=int, default=-1,
                    help="resume from this epoch's checkpoint (-1: fresh)")
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="npz from cli.convert_torch_resnet: initialize the RGB "
+                        "encoder trunk with ImageNet weights (the reference "
+                        "uses torchvision pretrained weights, resnet.py:205-214)")
     p.add_argument("--log_dir", default=None)
     return p.parse_args()
 
@@ -96,6 +100,14 @@ def main():
     logger.info(f"#parameters: {n_params / 1e6:.2f}M")
 
     params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.pretrained_backbone:
+        from istnet_tpu.cli.convert_torch_resnet import load_into_params
+        enc = ("rgb_cam_extractor" if cfg.get("model_arch", "ist_net") == "ist_net"
+               else "rgb_extractor")
+        params, batch_stats = load_into_params(
+            params, batch_stats, args.pretrained_backbone, encoder_name=enc)
+        logger.info(f"loaded ImageNet backbone from {args.pretrained_backbone}")
 
     # two-phase recipe: transplant + freeze the world enhancer (train.py:103-118)
     if cfg.get("freeze_world_enhancer", False) and cfg.get("world_enhancer_weights"):

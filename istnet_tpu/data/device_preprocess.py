@@ -107,8 +107,11 @@ def fill_in_multiscale_tpu(depth: Array, max_depth: float = 3.0) -> Array:
 
     x = jnp.where(x > _VALID, max_depth - x, x)
 
+    # all three band dilations read the ORIGINAL inverted depths; results are
+    # then combined farthest-to-nearest (data_utils.py:399-420)
+    inv0 = x
     for mask, r in ((far, 1), (med, 2), (near, 3)):
-        d = _dilate(jnp.where(mask, x, 0.0), "cross", r)
+        d = _dilate(jnp.where(mask, inv0, 0.0), "cross", r)
         x = jnp.where(d > _VALID, d, x)
 
     x = _erode(_dilate(x, "full", 2), 2)  # 5x5 closing

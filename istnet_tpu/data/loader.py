@@ -57,14 +57,26 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop: a consumer abandoning iteration
+            # must not leave the producer parked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate(samples))
-            q.put(None)
+                    if not put(collate(samples)):
+                        return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -536,12 +536,14 @@ def evaluate(path: str, logger=None, plot_figure: bool = True):
     for pkl_path in result_pkl_list:
         with open(pkl_path, "rb") as f:
             result = pickle.load(f)
-        if "gt_handle_visibility" not in result:
-            result["gt_handle_visibility"] = np.ones_like(result["gt_class_ids"])
-        if isinstance(result, list):
-            final_results += result
-        else:
-            final_results.append(result)
+        # a pkl may hold one dict or a list of dicts (the reference checks the
+        # list case AFTER dict-indexing it, evaluation_utils.py:1041-1052 — a
+        # crash on list pkls; fixed here by normalizing first)
+        items = result if isinstance(result, list) else [result]
+        for item in items:
+            if "gt_handle_visibility" not in item:
+                item["gt_handle_visibility"] = np.ones_like(item["gt_class_ids"])
+        final_results += items
     iou_aps, pose_aps = compute_independent_map(
         final_results, SYNSET_NAMES,
         degree_thresholds=list(range(0, 61)),

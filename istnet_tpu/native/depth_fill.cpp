@@ -168,14 +168,16 @@ void fill_in_multiscale(float* depth, int h, int w, float max_depth) {
   for (size_t i = 0; i < sz; ++i)
     if (out[i] > kValid) out[i] = max_depth - out[i];
 
-  // per-band dilations with cross kernels 3/5/7; farthest applied first
+  // per-band dilations with cross kernels 3/5/7; ALL bands read the original
+  // inverted depths (data_utils.py:399-420), results combined far-to-near
+  std::vector<float> inv0(out, out + sz);
   int offs[81][2];  // largest kernel is the 9x9 hole fill
   int n_offs;
   struct Band { const std::vector<unsigned char>* m; int r; };
   const Band bands[3] = {{&far_m, 1}, {&med_m, 2}, {&near_m, 3}};
   for (const Band& bd : bands) {
     for (size_t i = 0; i < sz; ++i)
-      band.ptr()[i] = (*bd.m)[i] ? out[i] : 0.f;
+      band.ptr()[i] = (*bd.m)[i] ? inv0[i] : 0.f;
     if (bd.r == 1) make_cross<1>(offs, &n_offs);
     else if (bd.r == 2) make_cross<2>(offs, &n_offs);
     else make_cross<3>(offs, &n_offs);

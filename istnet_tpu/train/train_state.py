@@ -50,7 +50,14 @@ def _freeze_label_tree(params: PyTree, frozen_prefix: str | None) -> PyTree:
 
 def make_optimizer(cfg, iters_per_epoch: int, params: PyTree,
                    frozen_prefix: str | None = None):
-    """Adam + cyclic LR, with an optionally-frozen top-level subtree."""
+    """Adam + cyclic LR, with an optionally-frozen top-level subtree.
+
+    NOTE: the reference configs carry ``optimizer.betas``/``eps`` keys but its
+    solver NEVER passes them — ``optim.Adam(params, lr=..., weight_decay=...)``
+    (``utils/solver.py:40-43``) trains with torch defaults (0.9, 0.999, 1e-8).
+    We reproduce the actual training behavior; the config keys are accepted
+    only via the explicit ``adam_betas``/``adam_eps`` overrides.
+    """
     opt = cfg.optimizer
     max_epoch = cfg.max_epoch
     step_size_up = max(1, int(max_epoch * iters_per_epoch / 6))  # solver.py:45
@@ -59,11 +66,12 @@ def make_optimizer(cfg, iters_per_epoch: int, params: PyTree,
         return cyclic_triangular_lr(step, base_lr=1e-5, max_lr=1e-3,
                                     step_size_up=step_size_up)
 
+    betas = opt.get("adam_betas", (0.9, 0.999))  # torch Adam defaults
     adam = optax.adam(
         learning_rate=lr_schedule,
-        b1=float(opt.betas[0]),
-        b2=float(opt.betas[1]),
-        eps=float(opt.eps),
+        b1=float(betas[0]),
+        b2=float(betas[1]),
+        eps=float(opt.get("adam_eps", 1e-8)),
     )
     wd = float(opt.get("weight_decay", 0.0))
     if wd:

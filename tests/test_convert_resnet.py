@@ -108,3 +108,35 @@ def test_converted_weights_match_torch_forward():
     out_torch = np.transpose(v.numpy(), (0, 2, 3, 1))
     # tolerance covers XLA's default bf16-pass conv precision vs torch f32
     np.testing.assert_allclose(np.asarray(out_flax), out_torch, rtol=1e-2, atol=5e-3)
+
+
+def test_load_into_full_model_params():
+    """npz -> load_into_params grafts the trunk into a full ISTNet tree."""
+    import tempfile
+
+    from istnet_tpu.cli.convert_torch_resnet import load_into_params
+    from istnet_tpu.models.ist_net import ISTNet
+
+    sd = {k: v.numpy() for k, v in _random_torch_sd().items()}
+    trunk_p, trunk_s = build_flax_trees(sd)
+    with tempfile.TemporaryDirectory() as td:
+        npz = td + "/trunk.npz"
+        np.savez(npz, params=trunk_p, batch_stats=trunk_s)
+
+        model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+        x = {
+            "rgb": jnp.zeros((1, 48, 48, 3)),
+            "pts": jnp.zeros((1, 64, 3)),
+            "choose": jnp.zeros((1, 64), jnp.int32),
+            "category_label": jnp.zeros((1,), jnp.int32),
+            "qo": jnp.zeros((1, 64, 3)),
+        }
+        variables = jax.jit(model.init, static_argnames="train")(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=True)
+        params, stats = load_into_params(variables["params"], variables["batch_stats"], npz)
+    got = params["rgb_cam_extractor"]["ResNet18Trunk_0"]["_RConv_0"]["Conv_0"]["kernel"]
+    want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(np.asarray(got), want)
+    got_s = stats["rgb_cam_extractor"]["ResNet18Trunk_0"]["BatchNorm_0"]["mean"]
+    np.testing.assert_allclose(np.asarray(got_s), sd["bn1.running_mean"])

@@ -8,8 +8,12 @@ from istnet_tpu.data.device_preprocess import backproject_batch, fill_missing_tp
 
 
 def _synthetic_depth(seed, h=96, w=128):
+    """Depths spanning ALL THREE distance bands (<1 m, 1-2 m, >2 m) with a
+    hard band boundary — the band-dilation order is only observable there."""
     rng = np.random.RandomState(seed)
     depth = (1500 + 300 * rng.rand(h, w)).astype(np.float32)
+    depth[:, w // 2:] = 2200 + 500 * rng.rand(h, w - w // 2)  # far band
+    depth[h // 2:, : w // 4] = 600 + 300 * rng.rand(h - h // 2, w // 4)  # near band
     depth[rng.rand(h, w) < 0.3] = 0
     depth[: h // 8] = 0  # empty top band
     depth[:, :4] = 0  # empty columns

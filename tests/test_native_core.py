@@ -12,7 +12,10 @@ pytestmark = pytest.mark.skipif(not native.available(),
 
 def test_native_fill_matches_cv2():
     rng = np.random.RandomState(0)
+    # span all three distance bands incl. a hard boundary (band-order matters)
     depth = (1500 + 300 * rng.rand(96, 128)).astype(np.float32)
+    depth[:, 64:] = 2200 + 500 * rng.rand(96, 64)
+    depth[48:, :32] = 600 + 300 * rng.rand(48, 32)
     depth[rng.rand(96, 128) < 0.3] = 0
     depth[:12] = 0
 

@@ -38,9 +38,11 @@ def test_ema_batch_stats_torch_semantics():
 
 
 def _toy_cfg():
+    # adam_eps raised: near-zero grads make tiny-eps Adam updates sign-flip on
+    # psum-vs-serial reduction-order noise, which this test would amplify
     return Config({
         "optimizer": {"name": "Adam", "lr": 0.01, "betas": [0.5, 0.999],
-                      "eps": 1e-6, "weight_decay": 0},
+                      "eps": 1e-6, "adam_eps": 1e-6, "weight_decay": 0},
         "max_epoch": 30,
         "bn": {"bn_momentum": 0.9, "bn_decay": 0.5, "decay_step": 4000,
                "bnm_clip": 0.01},
