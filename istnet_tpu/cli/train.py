@@ -134,6 +134,11 @@ def main():
         start_epoch = int(payload["meta"]["epoch"]) + 1
         logger.info(f"resumed from epoch {args.checkpoint_epoch}")
 
+    if (cfg.train_dataset.get("use_device_aug", False)
+            and cfg.train_dataset.get("use_shape_aug", False)):
+        logger.warning("both use_device_aug and use_shape_aug enabled — "
+                       "samples would be augmented twice; disable one")
+
     dl_cfg = cfg.train_dataloader
     iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
     syn_ds = TrainingDataset(cfg.train_dataset, args.data_dir, data_type="syn",

@@ -21,7 +21,7 @@ from istnet_tpu.train.train_state import TrainState, create_train_state, make_tr
 from istnet_tpu.utils.logging import LogBuffer, MetricWriter
 
 LABEL_KEYS = ("rotation_label", "translation_label", "size_label", "qo")
-INPUT_KEYS = ("rgb", "pts", "choose", "category_label", "qo")
+INPUT_KEYS = ("rgb", "pts", "choose", "category_label", "qo", "sym_info")
 
 
 def split_batch(np_batch: dict) -> dict:
@@ -66,7 +66,18 @@ class Solver:
             logger.info(f"using {nd}/{jax.device_count()} devices "
                         f"(global batch {global_bs})")
         self.mesh = make_mesh(nd)
-        step_fn = make_train_step(model, loss_fn, tx, cfg.bn)
+
+        augment_fn = None
+        td = cfg.get("train_dataset", {})
+        if td and td.get("use_device_aug", False):
+            from istnet_tpu.data.device_augment import device_augment
+
+            def augment_fn(batch, rng, _td=td):
+                return device_augment(batch, rng,
+                                      aug_bb_pro=float(_td.get("aug_bb_pro", 0.3)),
+                                      aug_rt_pro=float(_td.get("aug_rt_pro", 0.3)))
+
+        step_fn = make_train_step(model, loss_fn, tx, cfg.bn, augment_fn=augment_fn)
         self.train_step = jit_train_step_dp(step_fn, self.mesh)
         state = start_state or create_train_state(
             variables["params"], variables["batch_stats"], tx)

@@ -95,14 +95,21 @@ def ema_batch_stats(running: PyTree, batch: PyTree, momentum: Array) -> PyTree:
         lambda r, b: (1.0 - momentum) * r + momentum * b, running, batch)
 
 
-def make_train_step(model, loss_fn: Callable, tx, bn_cfg) -> Callable:
+def make_train_step(model, loss_fn: Callable, tx, bn_cfg,
+                    augment_fn: Callable | None = None) -> Callable:
     """Build the jittable train step.
 
     loss_fn(end_points, batch) -> (total, parts_dict).
+    augment_fn(batch, rng) -> batch, applied on device inside the step (the
+    "on-device augmentation" path, istnet_tpu.data.device_augment).
     Returns step(state, batch, dropout_rng) -> (state, metrics).
     """
 
     def train_step(state: TrainState, batch: dict, dropout_rng) -> tuple[TrainState, dict]:
+        if augment_fn is not None:
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            batch = augment_fn(batch, aug_rng)
+
         def compute_loss(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
