@@ -40,17 +40,16 @@ def _ball_query_kernel(new_xyz_ref, xyz_t_ref, *out_refs,
                  precision=lax.Precision.HIGHEST)                 # (TM, N)
     d2 = an + bn - 2.0 * ab       # shared by all radii
 
-    lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    # inclusive prefix sum as an int8 MXU matmul against an upper-triangular
+    # ones matrix (Mosaic has no cumsum; this beats Hillis-Steele rolls ~10%)
+    r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (r_ <= c_).astype(jnp.int8)
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
-        # inclusive prefix sum along lanes (Mosaic has no cumsum):
-        # Hillis-Steele doubling with masked rolls, log2(N) vector adds
-        cs = hit.astype(jnp.int32)
-        shift = 1
-        while shift < n:
-            rolled = pltpu.roll(cs, shift, axis=1)
-            cs = cs + jnp.where(lane >= shift, rolled, 0)
-            shift *= 2
+        cs = lax.dot_general(hit.astype(jnp.int8), tri,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
 
         cols = []
         for s in range(nsample):
