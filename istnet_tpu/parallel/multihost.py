@@ -1,0 +1,67 @@
+"""Multi-host (pod-slice) data-parallel helpers.
+
+The reference is single-node (``torch.nn.DataParallel``); this is the
+multi-host extension: DCN-connected hosts each load a shard of the global
+batch and assemble a global ``jax.Array`` with
+``jax.make_array_from_process_local_data``. Replaces per-GPU scatter with
+per-host feeding — the TPU-native pattern from the scaling playbook.
+
+Usage on each host of a pod slice:
+
+    from istnet_tpu.parallel import multihost
+    multihost.initialize()                  # jax.distributed handshake
+    mesh = make_mesh()                      # all devices across hosts
+    batch = multihost.global_batch(mesh, local_batch)   # host-local shard in
+    # -> jit_train_step_dp(step, mesh)(state, batch, rng) as on one host
+
+Single-host (process_count == 1) degenerates to ``shard_batch`` — covered by
+the regular DP tests; the multi-host path needs a real multi-process run.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from istnet_tpu.parallel.mesh import DATA_AXIS, shard_batch
+
+PyTree = Any
+
+
+def initialize(**kwargs) -> None:
+    """jax.distributed.initialize, tolerant of single-process runs.
+
+    MUST be called before any other JAX API touches the backend (including
+    jax.process_count()), which is why this swallows the no-coordinator error
+    instead of probing first.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        # single-process run (no coordinator configured) or already initialized
+        pass
+
+
+def per_host_batch_size(global_batch: int) -> int:
+    """The slice of the global batch THIS host must load."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{n} hosts")
+    return global_batch // n
+
+
+def global_batch(mesh: Mesh, local_batch: PyTree) -> PyTree:
+    """Assemble host-local arrays into a global batch-sharded jax.Array tree.
+
+    ``local_batch`` leaves are numpy arrays whose leading axis is this host's
+    shard of the global batch (host order = process index order).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)

@@ -107,3 +107,15 @@ def test_dp_train_step_8_devices():
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(new_state.batch_stats)[0]),
         np.asarray(jax.tree_util.tree_leaves(ref_state.batch_stats)[0]), rtol=1e-4, atol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    from istnet_tpu.parallel import make_mesh
+    from istnet_tpu.parallel import multihost
+
+    assert multihost.per_host_batch_size(16) == 16  # single process
+    mesh = make_mesh()
+    batch = {"x": np.ones((16, 3), np.float32)}
+    out = multihost.global_batch(mesh, batch)
+    assert out["x"].shape == (16, 3)
+    assert len(out["x"].sharding.device_set) == 8  # sharded over the mesh
