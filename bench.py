@@ -21,8 +21,11 @@ utilization minus the per-op launch overhead of its ~100-kernel forward
 vs_baseline = value / REF_ESTIMATE; the BASELINE.json target is >= 5.
 
 Timing methodology: the axon tunnel's ``block_until_ready`` does not actually
-block (verified: reports 260x fiction), so every timed iteration forces a
-device-to-host read of one output scalar.
+block and a per-call D2H sync costs up to ~30 ms of tunnel latency, so the
+forward is timed AMORTIZED: CHAIN forwards run inside one jitted fori_loop
+(inputs perturbed per iteration to defeat CSE), one scalar synced at the end.
+This measures pure device throughput — the steady-state serving number, where
+dispatch overlaps execution.
 """
 
 import json
@@ -31,19 +34,36 @@ import time
 import numpy as np
 
 REF_ESTIMATE = 150.0  # est. reference CUDA throughput at its best batch (docstring)
-WARMUP = 3
-ITERS = 15
+WARMUP = 1
+ITERS = 3
+CHAIN = 10
 
 
-def _throughput(jfn, args, batch: int) -> float:
+def _throughput(fn, args, batch: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    params, stats, inputs = args
+
+    @jax.jit
+    def chain(inputs):
+        def body(i, acc):
+            # perturb EVERY float input: a loop-invariant rgb would let XLA
+            # hoist the entire encoder out of the chain and inflate the number
+            inp = dict(inputs)
+            inp["pts"] = inp["pts"] + acc * 1e-12
+            inp["rgb"] = inp["rgb"] + acc * 1e-12
+            out = fn(params, stats, inp)
+            return acc + jnp.sum(out["pred_translation"][0]) * 1e-9
+        return lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+
     for _ in range(WARMUP):
-        out = jfn(*args)
-        _ = np.asarray(out["pred_translation"])[0, 0]  # forced D2H sync
+        _ = float(chain(inputs))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = jfn(*args)
-        _ = np.asarray(out["pred_translation"])[0, 0]
-    return batch / ((time.perf_counter() - t0) / ITERS)
+        _ = float(chain(inputs))
+    return batch / ((time.perf_counter() - t0) / (ITERS * CHAIN))
 
 
 def main() -> None:

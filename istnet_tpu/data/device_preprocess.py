@@ -155,3 +155,163 @@ def fill_missing_tpu(depth_mm: Array, cam_scale: float = 1000.0,
     x = depth_mm.astype(jnp.float32) / cam_scale * scale_2_80m
     out = fill_in_multiscale_tpu(x, 3.0)
     return out / scale_2_80m * cam_scale
+
+
+# ---------------------------------------------------------------------------
+# Fully device-side instance preprocessing (crop + sample + resize)
+# ---------------------------------------------------------------------------
+
+MAX_CROP = 440  # get_bbox's maximum square window (data_utils.py:48)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def square_crop_bounds(bboxes: Array, img_h: int = 480, img_w: int = 640) -> Array:
+    """Vectorized ``get_bbox`` (data_utils.py:43-71): (B, 4) [y1, x1, y2, x2]
+    -> (B, 4) [rmin, rmax, cmin, cmax], 40-px-quantized square windows."""
+    y1, x1, y2, x2 = (bboxes[:, i].astype(jnp.int32) for i in range(4))
+    win = (jnp.maximum(y2 - y1, x2 - x1) // 40 + 1) * 40
+    win = jnp.minimum(win, MAX_CROP)
+    cy = (y1 + y2) // 2
+    cx = (x1 + x2) // 2
+    rmin = cy - win // 2
+    cmin = cx - win // 2
+    rmax = rmin + win
+    cmax = cmin + win
+    # clamp-and-shift, matching the reference's four fixups
+    shift = jnp.maximum(-rmin, 0)
+    rmin, rmax = rmin + shift, rmax + shift
+    shift = jnp.maximum(-cmin, 0)
+    cmin, cmax = cmin + shift, cmax + shift
+    shift = jnp.maximum(rmax - img_h, 0)
+    rmin, rmax = rmin - shift, rmax - shift
+    shift = jnp.maximum(cmax - img_w, 0)
+    cmin, cmax = cmin - shift, cmax - shift
+    return jnp.stack([rmin, rmax, cmin, cmax], axis=1)
+
+
+def _resize_half_pixel(crop: Array, crop_w: Array, out_size: int) -> Array:
+    """Per-instance variable-size bilinear resize (cv2 INTER_LINEAR semantics:
+    half-pixel centers, border clamp) of the top-left (crop_w, crop_w) region
+    of a padded (MAX_CROP, MAX_CROP, C) crop.
+
+    Weight matrices are built from iota arithmetic with the traced crop size
+    and applied as two MXU contractions — ``jax.image.scale_and_translate``
+    under vmap is ~30x slower at these shapes.
+    """
+    n_in = crop.shape[0]
+    cw = crop_w.astype(jnp.float32)
+    out_pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (cw / out_size) - 0.5
+    out_pos = jnp.clip(out_pos, 0.0, cw - 1.0)  # cv2 border clamp
+    in_idx = jnp.arange(n_in, dtype=jnp.float32)
+    # linear kernel: weight = max(0, 1 - |pos - j|), rows sum to 1
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(out_pos[:, None] - in_idx[None, :]))
+    x = jnp.einsum("oh,hwc->owc", w, crop.astype(jnp.float32))
+    return jnp.einsum("ow,hwc->hoc", w, x)
+
+
+_CS_BLOCK = 128
+
+
+def _blocked_cumsum(ok: Array) -> Array:
+    """Inclusive cumsum of a 0/1 int vector via triangular int matmuls.
+
+    XLA's cumsum lowering is pathologically slow at these sizes under vmap
+    (~38 ms for 24 x 194k); two-level block-scan with (128, 128) triangular
+    contractions runs in ~1 ms.
+    """
+    n = ok.shape[0]
+    nb = -(-n // _CS_BLOCK)
+    pad = nb * _CS_BLOCK - n
+    x = jnp.pad(ok.astype(jnp.int8), (0, pad)).reshape(nb, _CS_BLOCK)
+    r_ = lax.broadcasted_iota(jnp.int32, (_CS_BLOCK, _CS_BLOCK), 0)
+    c_ = lax.broadcasted_iota(jnp.int32, (_CS_BLOCK, _CS_BLOCK), 1)
+    tri = (r_ <= c_).astype(jnp.int8)
+    intra = lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (nb, B)
+    block_tot = intra[:, -1].astype(jnp.float32)  # counts <= 194k: exact in f32
+    offsets = jnp.cumsum(block_tot) - block_tot  # tiny (nb,) cumsum
+    return (intra + offsets[:, None].astype(jnp.int32)).reshape(-1)[:n]
+
+
+def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
+                             bboxes: Array, intrinsics: Array, key: Array,
+                             img_size: int = 192, sample_num: int = 1024,
+                             norm_scale: float = 1000.0) -> dict:
+    """Device-side equivalent of the per-instance test preprocessing
+    (``dataset.py:380-404``): square crop, in-mask point sampling,
+    backprojection, RGB resize + ImageNet normalization — one jitted program,
+    instances batched.
+
+    Args:
+      rgb: (B, H, W, 3) uint8 full images (one row per INSTANCE; repeat the
+        image for multi-instance frames).
+      depth_mm: (B, H, W) float32 completed depth in mm (fill_missing_tpu).
+      masks: (B, H, W) bool instance masks.
+      bboxes: (B, 4) [y1, x1, y2, x2] detection boxes.
+      intrinsics: (4,) [fx, fy, cx, cy].
+      key: PRNG key for point sampling (Gumbel top-k without replacement,
+        wrap-around repeats when fewer than sample_num valid pixels — the
+        reference's with-replacement refill, dataset.py:388-391, is a random
+        multiset; this is its deterministic-coverage analogue).
+
+    Returns:
+      dict(rgb (B, img, img, 3) normalized, pts (B, N, 3) meters,
+           choose (B, N) int32 indices into the resized crop,
+           n_valid (B,) in-mask pixel counts).
+    """
+    b, h, w = depth_mm.shape
+    bounds = square_crop_bounds(bboxes, h, w)
+    crop_w = bounds[:, 1] - bounds[:, 0]  # (B,) variable window sizes
+
+    pts_map = backproject_batch(depth_mm, intrinsics, norm_scale)
+    valid_full = masks & (depth_mm > 0)
+
+    # pad bottom/right so a MAX_CROP dynamic_slice never clamps its start
+    # (windows smaller than MAX_CROP can begin past H - MAX_CROP); the padded
+    # region is outside every window and masked by the `inside` predicate
+    rgb = jnp.pad(rgb, ((0, 0), (0, MAX_CROP), (0, MAX_CROP), (0, 0)))
+    pts_map = jnp.pad(pts_map, ((0, 0), (0, MAX_CROP), (0, MAX_CROP), (0, 0)))
+    valid_full = jnp.pad(valid_full, ((0, 0), (0, MAX_CROP), (0, MAX_CROP)))
+
+    def per_instance(rgb_i, pts_i, valid_i, bound, cw, k):
+        rmin, _, cmin, _ = bound[0], bound[1], bound[2], bound[3]
+        crop_rgb = lax.dynamic_slice(rgb_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
+        crop_pts = lax.dynamic_slice(pts_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
+        crop_valid = lax.dynamic_slice(valid_i, (rmin, cmin), (MAX_CROP, MAX_CROP))
+        rows = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 1)
+        inside = (rows < cw) & (cols < cw)
+        ok = (crop_valid & inside).reshape(-1)
+
+        # stratified inverse-CDF sample of valid flat indices: one uniform per
+        # stratum of the valid-cell CDF -> (near-)duplicate-free when
+        # count >= sample_num, full coverage with repeats when count <
+        # sample_num (the reference's with/without-replacement split,
+        # dataset.py:388-391). O(cells) cumsum + binary search — a Gumbel
+        # top-k over the 440^2 cells is ~40x slower on TPU.
+        cdf = _blocked_cumsum(ok)
+        count = cdf[-1]
+        v = jax.random.uniform(k, (sample_num,))
+        slot = lax.broadcasted_iota(jnp.float32, (sample_num, 1), 0).squeeze(-1)
+        u = (slot + v) / sample_num * count.astype(jnp.float32)
+        targets = jnp.floor(u).astype(jnp.int32) + 1
+        flat_idx = jnp.searchsorted(cdf, jnp.minimum(targets, jnp.maximum(count, 1)),
+                                    side="left").astype(jnp.int32)
+
+        pts = crop_pts.reshape(-1, 3)[flat_idx]
+        # choose remap for the resized crop (dataset.py:400-404)
+        row_idx = flat_idx // MAX_CROP  # crop rows (window is top-left aligned)
+        col_idx = flat_idx % MAX_CROP
+        ratio = img_size / cw.astype(jnp.float32)
+        choose = (jnp.floor(row_idx * ratio) * img_size
+                  + jnp.floor(col_idx * ratio)).astype(jnp.int32)
+
+        rgb_out = _resize_half_pixel(crop_rgb, cw, img_size)
+        rgb_out = ((rgb_out / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        return rgb_out, pts, choose, count
+
+    keys = jax.random.split(key, b)
+    rgb_o, pts_o, choose_o, count_o = jax.vmap(per_instance)(
+        rgb, pts_map, valid_full, bounds, crop_w, keys)
+    return {"rgb": rgb_o, "pts": pts_o, "choose": choose_o, "n_valid": count_o}
