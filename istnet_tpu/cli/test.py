@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument("--mask_label", action="store_true",
                    help="surface parity with the reference test.py:38; the "
                         "reference parses but never reads this flag")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="run depth completion/crop/sampling/resize ON DEVICE, "
+                        "fused with the model forward")
     p.add_argument("--vis", action="store_true", help="draw detection boxes")
     p.add_argument("--log_dir", default=None)
     return p.parse_args()
@@ -59,13 +62,23 @@ def main():
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
         logger.info(f"restored epoch {args.test_epoch}")
 
-        @jax.jit
-        def forward(inputs):
-            return model.apply(variables, inputs, train=False)
+        if args.device_preprocess:
+            from istnet_tpu.data.dataset import REAL_INTRINSICS
+            from istnet_tpu.eval.test_loop import make_device_forward, test_func_device
+            dataset = TestDataset(cfg.test, args.data_dir, device_preprocess=True)
+            logger.info(f"{len(dataset)} test images (device preprocessing)")
+            dfwd = make_device_forward(model, variables, REAL_INTRINSICS,
+                                       img_size=int(cfg.test.img_size),
+                                       sample_num=int(cfg.test.sample_num))
+            test_func_device(dfwd, dataset, save_path, logger=logger)
+        else:
+            @jax.jit
+            def forward(inputs):
+                return model.apply(variables, inputs, train=False)
 
-        dataset = TestDataset(cfg.test, args.data_dir)
-        logger.info(f"{len(dataset)} test images")
-        test_func(forward, dataset, save_path, logger=logger)
+            dataset = TestDataset(cfg.test, args.data_dir)
+            logger.info(f"{len(dataset)} test images")
+            test_func(forward, dataset, save_path, logger=logger)
 
         if args.vis:
             from istnet_tpu.data.dataset import REAL_INTRINSICS

@@ -220,17 +220,26 @@ class TrainingDataset:
 
 
 class TestDataset:
-    """Per-image test data with Mask-RCNN detections (``dataset.py:299-433``)."""
+    """Per-image test data with Mask-RCNN detections (``dataset.py:299-433``).
+
+    With ``device_preprocess=True`` the per-instance host work (depth fill,
+    crop, sampling, resize) is SKIPPED; ``__getitem__`` returns raw arrays
+    (uint8 rgb, raw depth, per-instance masks, boxes) for the device-side
+    pipeline (``data.device_preprocess`` + ``eval.test_loop``) — model inputs
+    are then produced entirely on the TPU.
+    """
 
     __test__ = False  # not a pytest class
 
-    def __init__(self, config, data_dir: str, seed: int | None = 0):
+    def __init__(self, config, data_dir: str, seed: int | None = 0,
+                 device_preprocess: bool = False):
         self.data_dir = data_dir
         self.img_size = config.img_size
         self.sample_num = config.sample_num
         self.intrinsics = REAL_INTRINSICS
         self.norm_scale = 1000.0
         self.rng = np.random.RandomState(seed)
+        self.device_preprocess = device_preprocess
 
         pkls = glob.glob(os.path.join(data_dir, "data", "segmentation_results",
                                       "test_trainedwithMask", "results_*.pkl"))
@@ -257,6 +266,22 @@ class TestDataset:
         num_instance = len(data["pred_class_ids"])
 
         rgb_full = cv2.imread(image_path + "_color.png")[:, :, :3][:, :, ::-1]
+
+        if self.device_preprocess:
+            raw_depth = load_depth(image_path)
+            return {
+                "index": index,
+                "empty": num_instance == 0,
+                "raw": True,
+                "rgb_full": np.ascontiguousarray(rgb_full, np.uint8),
+                "depth_raw": raw_depth.astype(np.float32),
+                "masks": np.transpose(pred_mask, (2, 0, 1)).astype(bool),
+                "bboxes": np.asarray(data["pred_bboxes"], np.int32),
+                "category_label": np.asarray(data["pred_class_ids"], np.int64) - 1,
+                "gt": data,
+                "image_path": image_path,
+                "ori_img": rgb_full[:, :, ::-1].copy(),
+            }
         coord = cv2.imread(image_path + "_coord.png")[:, :, :3][:, :, (2, 1, 0)]
         coord = coord.astype(np.float32) / 255.0
         coord[:, :, 2] = 1 - coord[:, :, 2]

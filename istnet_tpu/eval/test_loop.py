@@ -76,6 +76,104 @@ def _prefetch(dataset, n_workers: int = 2, depth: int = 4):
             yield item
 
 
+def make_device_forward(model, variables, intrinsics, img_size: int = 192,
+                        sample_num: int = 1024):
+    """Build a jitted fn: raw image + instance masks -> end_points, with ALL
+    preprocessing (depth completion, crop, sampling, backprojection, resize)
+    fused into the same device program as the model forward.
+
+    Returns fn(rgb_full u8 (H,W,3), depth_raw f32 (H,W), masks (K,H,W) bool,
+    bboxes (K,4), category (K,), key) -> (end_points, n_valid (K,)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from istnet_tpu.data.device_preprocess import (
+        fill_missing_tpu, preprocess_instances_tpu)
+
+    intr = jnp.asarray(intrinsics, jnp.float32)
+
+    @jax.jit
+    def fn(rgb_full, depth_raw, masks, bboxes, category, key):
+        filled = fill_missing_tpu(depth_raw[None])[0]
+        k = masks.shape[0]
+        pre = preprocess_instances_tpu(
+            jnp.broadcast_to(rgb_full[None], (k,) + rgb_full.shape),
+            jnp.broadcast_to(filled[None], (k,) + filled.shape),
+            masks, bboxes, intr, key, img_size=img_size, sample_num=sample_num)
+        inputs = {"rgb": pre["rgb"], "pts": pre["pts"], "choose": pre["choose"],
+                  "category_label": category.astype(jnp.int32)}
+        return model.apply(variables, inputs, train=False), pre["n_valid"]
+
+    return fn
+
+
+def test_func_device(device_forward, dataset, save_path: str, logger=None,
+                     max_bucket: int = 64, progress: bool = True,
+                     min_points: int = 16, seed: int = 0) -> None:
+    """Device-pipeline variant of ``test_func``: the dataset yields raw
+    arrays (``TestDataset(device_preprocess=True)``); instances with <=
+    ``min_points`` valid pixels are dropped AFTER the device pass (the
+    reference's >16 check, ``dataset.py:387``)."""
+    import jax
+
+    os.makedirs(save_path, exist_ok=True)
+    it = _prefetch(dataset, n_workers=2)
+    if progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(it, total=len(dataset))
+        except Exception:
+            pass
+
+    key = jax.random.PRNGKey(seed)
+    for i, data in enumerate(it):
+        path = dataset.result_pkl_list[i]
+        gt = data["gt"]
+        result = {
+            "gt_class_ids": np.asarray(gt["gt_class_ids"]),
+            "gt_bboxes": np.asarray(gt["gt_bboxes"]),
+            "gt_RTs": np.asarray(gt["gt_RTs"]),
+            "gt_scales": np.asarray(gt["gt_scales"]),
+            "gt_handle_visibility": np.asarray(gt["gt_handle_visibility"]),
+        }
+        k = data["masks"].shape[0]
+        if data.get("empty", False) or k == 0:
+            keep = np.zeros(0, bool)
+        else:
+            bucket = _bucket(k, max_bucket)
+            masks = data["masks"]
+            bboxes = data["bboxes"]
+            category = data["category_label"]
+            if k < bucket:  # pad with empty masks -> n_valid 0 -> dropped
+                masks = np.concatenate(
+                    [masks, np.zeros((bucket - k,) + masks.shape[1:], bool)])
+                bboxes = np.concatenate(
+                    [bboxes, np.tile(bboxes[-1:], (bucket - k, 1))])
+                category = np.concatenate(
+                    [category, np.zeros(bucket - k, category.dtype)])
+            key, sub = jax.random.split(key)
+            end_points, n_valid = device_forward(
+                data["rgb_full"], data["depth_raw"], masks, bboxes, category, sub)
+            n_valid = np.asarray(n_valid)[:k]
+            keep = n_valid > min_points
+
+        result["pred_class_ids"] = np.asarray(gt["pred_class_ids"])[keep]
+        result["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[keep]
+        result["pred_scores"] = np.asarray(gt["pred_scores"])[keep]
+        if keep.any():
+            r = np.asarray(end_points["pred_rotation"])[:k][keep]
+            t = np.asarray(end_points["pred_translation"])[:k][keep]
+            s = np.asarray(end_points["pred_size"])[:k][keep]
+            result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s)
+        else:
+            result["pred_RTs"] = np.zeros((0, 4, 4), np.float32)
+            result["pred_scales"] = np.zeros((0, 3), np.float32)
+
+        with open(os.path.join(save_path, os.path.basename(path)), "wb") as f:
+            pickle.dump(result, f)
+
+
 def test_func(forward, dataset, save_path: str, logger=None,
               max_bucket: int = 64, progress: bool = True,
               prefetch_workers: int = 2) -> None:

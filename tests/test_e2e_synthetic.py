@@ -206,3 +206,45 @@ def test_test_dataset_and_full_eval(synthetic_root, tmp_path):
 
     iou_aps, pose_aps = evaluate(save, plot_figure=False)
     assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
+
+
+def test_device_preprocess_test_path(synthetic_root, tmp_path):
+    """The fully-device test pipeline produces valid result pkls + metrics."""
+    from istnet_tpu.data.dataset import REAL_INTRINSICS
+    from istnet_tpu.eval.nocs_map import evaluate
+    from istnet_tpu.eval.test_loop import make_device_forward, test_func_device
+    from istnet_tpu.models.ist_net import ISTNet
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root, device_preprocess=True)
+    data = ds[0]
+    assert data["raw"] and data["masks"].dtype == bool
+    assert data["depth_raw"].shape == (480, 640)
+
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {
+        "rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+        "pts": jnp.zeros((1, N_PTS, 3)),
+        "choose": jnp.zeros((1, N_PTS), jnp.int32),
+        "category_label": jnp.zeros((1,), jnp.int32),
+        "qo": jnp.zeros((1, N_PTS, 3)),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    dfwd = make_device_forward(model, ev, REAL_INTRINSICS,
+                               img_size=IMG_SIZE, sample_num=N_PTS)
+    save = str(tmp_path / "results_dev")
+    test_func_device(dfwd, ds, save, progress=False, max_bucket=4)
+
+    pkls = sorted(os.listdir(save))
+    assert len(pkls) == 2
+    with open(os.path.join(save, pkls[0]), "rb") as f:
+        result = pickle.load(f)
+    assert result["pred_RTs"].shape[0] == len(result["pred_class_ids"])
+    assert result["pred_RTs"].shape[0] > 0  # instances survived the >16 check
+    assert np.isfinite(result["pred_RTs"]).all()
+    iou_aps, pose_aps = evaluate(save, plot_figure=False)
+    assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
