@@ -345,6 +345,46 @@ def compute_combination_map(final_results: Sequence[dict],
     return aps
 
 
+def compute_3d_matches_for_each_gt(gt_class_ids, gt_rts, gt_scales,
+                                   gt_handle_visibility,
+                                   pred_class_ids, pred_rts, pred_scales,
+                                   pred_scores,
+                                   synset_names=SYNSET_NAMES):
+    """Visualization matcher (evaluation_utils.py:456-505): for each GT, the
+    best-IoU unmatched same-class prediction (no threshold). Returns
+    (gt_matches (G,) pred indices in score-sorted order or -1,
+     score_order (P,) the sorting applied to predictions)."""
+    gt_class_ids = np.asarray(gt_class_ids, np.int32)
+    pred_class_ids = np.asarray(pred_class_ids, np.int32)
+    order = np.argsort(np.asarray(pred_scores))[::-1] if len(pred_class_ids) else np.zeros(0, int)
+    pred_rts = np.asarray(pred_rts, np.float64)[order]
+    pred_scales = np.asarray(pred_scales, np.float64)[order]
+    pred_class_ids = pred_class_ids[order]
+
+    g = len(gt_class_ids)
+    sym = np.asarray([
+        (synset_names[c] in _Y_SYM_CLASSES)
+        or (synset_names[c] == "mug" and gt_handle_visibility[i] == 0)
+        for i, c in enumerate(gt_class_ids)], bool)
+    overlaps = compute_3d_iou_matrix(
+        pred_rts, pred_scales, np.asarray(gt_rts, np.float64),
+        np.asarray(gt_scales, np.float64), sym).T  # (G, P)
+    # per-gt class mask: the reference compares classes inside the scan
+    cls_ok = pred_class_ids[None, :] == gt_class_ids[:, None]
+
+    p = len(pred_class_ids)
+    gt_matches = -np.ones(g, np.int32)
+    pred_taken = np.zeros(p, bool)
+    for i in range(g):
+        for j in np.argsort(overlaps[i])[::-1]:
+            if pred_taken[j] or not cls_ok[i, j]:
+                continue
+            gt_matches[i] = j
+            pred_taken[j] = True
+            break
+    return gt_matches, order
+
+
 # ---------------------------------------------------------------------------
 # full evaluation
 # ---------------------------------------------------------------------------

@@ -293,3 +293,19 @@ def test_combination_break_semantics():
     gt_m, pred_m = nm.greedy_match_combination(
         overlaps, errors, np.asarray([5.0]), np.asarray([0.1]), np.asarray([0.25]))
     assert pred_m[0, 0, 0, 0] == -1  # blocked despite gt 1 passing
+
+
+def test_matches_for_each_gt():
+    rng = np.random.RandomState(9)
+    gt_rts = np.stack([_random_rt(rng, 0.2) for _ in range(2)])
+    gt_scales = rng.uniform(0.3, 1.0, (2, 3))
+    pred_rts = np.concatenate([gt_rts.copy(), [_random_rt(rng, 0.2)]])
+    pred_scales = np.concatenate([gt_scales.copy(), rng.uniform(0.3, 1, (1, 3))])
+    gm, order = nm.compute_3d_matches_for_each_gt(
+        [2, 5], gt_rts, gt_scales, np.ones(2),
+        [2, 5, 5], pred_rts, pred_scales, np.array([0.9, 0.8, 0.7]))
+    assert gm.shape == (2,)
+    # each gt matched to its exact copy (same class, IoU 1)
+    assert (gm >= 0).all()
+    sorted_cls = np.asarray([2, 5, 5])[order]
+    assert sorted_cls[gm[0]] == 2 and sorted_cls[gm[1]] == 5
