@@ -315,3 +315,37 @@ def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
     rgb_o, pts_o, choose_o, count_o = jax.vmap(per_instance)(
         rgb, pts_map, valid_full, bounds, crop_w, keys)
     return {"rgb": rgb_o, "pts": pts_o, "choose": choose_o, "n_valid": count_o}
+
+
+def preprocess_train_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
+                                   bboxes: Array, intrinsics: Array,
+                                   rotation: Array, translation: Array,
+                                   size: Array, key: Array,
+                                   img_size: int = 192, sample_num: int = 1024,
+                                   norm_scale: float = 1000.0,
+                                   shift_range: float = 0.005) -> dict:
+    """Training-side device preprocessing: the test pipeline plus the point
+    jitter (``dataset.py:210``: clip(0.001*randn, +-0.005)) and the GT NOCS
+    target ``qo = (pts - t)/||s|| @ R`` (``dataset.py:249``; R must already be
+    symmetry-canonicalized on the host, ``sym_canonical_rotation``).
+
+    Composes with ``fill_missing_tpu`` (pass completed depth) and
+    ``data.device_augment`` (FS-Net augs inside the train step) for a fully
+    device-resident train input path.
+    """
+    out = preprocess_instances_tpu(rgb, depth_mm, masks, bboxes, intrinsics,
+                                   key, img_size=img_size,
+                                   sample_num=sample_num,
+                                   norm_scale=norm_scale)
+    k_j, _ = jax.random.split(jax.random.fold_in(key, 1))
+    jitter = jnp.clip(0.001 * jax.random.normal(k_j, out["pts"].shape),
+                      -shift_range, shift_range)
+    pts = out["pts"] + jitter
+    qo = jnp.einsum(
+        "bnc,bcd->bnd",
+        (pts - translation[:, None, :])
+        / (jnp.linalg.norm(size, axis=-1)[:, None, None] + 1e-8),
+        rotation)
+    out["pts"] = pts
+    out["qo"] = qo
+    return out

@@ -93,3 +93,26 @@ def test_device_instance_preprocess_few_pixels_wraps():
     pts = np.asarray(out["pts"][0])
     assert np.isfinite(pts).all()
     assert len(np.unique(pts.round(6), axis=0)) == 16  # wrapped repeats
+
+
+def test_train_preprocess_qo_matches_host_formula():
+    rng = np.random.RandomState(5)
+    rgb, depth, mask, bbox = _scene(rng)
+    r = np.eye(3, dtype=np.float32)
+    t = np.array([0.0, 0.0, 0.95], np.float32)
+    s = np.array([0.1, 0.2, 0.1], np.float32)
+    out = jax.jit(lambda k: __import__(
+        "istnet_tpu.data.device_preprocess", fromlist=["x"]
+    ).preprocess_train_instances_tpu(
+        jnp.asarray(rgb[None]), jnp.asarray(depth[None]),
+        jnp.asarray(mask[None]), jnp.asarray(np.array([bbox], np.int32)),
+        jnp.asarray(INTR, jnp.float32), jnp.asarray(r[None]),
+        jnp.asarray(t[None]), jnp.asarray(s[None]), k,
+        img_size=192, sample_num=256))(jax.random.PRNGKey(3))
+    pts = np.asarray(out["pts"][0])
+    qo = np.asarray(out["qo"][0])
+    want = (pts - t) / (np.linalg.norm(s) + 1e-8) @ r
+    np.testing.assert_allclose(qo, want, rtol=1e-4, atol=1e-6)
+    # jitter applied: points no longer exactly on the backprojection lattice
+    z_mm = pts[:, 2] * 1000
+    assert not np.allclose(z_mm, np.round(z_mm), atol=1e-4)
