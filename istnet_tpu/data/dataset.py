@@ -82,7 +82,8 @@ class TrainingDataset:
         self.use_composed_img = use_composed_img
         self.img_size = config.img_size
         self.sample_num = config.sample_num
-        self.rng = np.random.RandomState(seed)
+        self.base_seed = 0 if seed is None else int(seed)
+        self.rng = np.random.RandomState(seed)  # epoch resampling only
 
         if data_type == "syn":
             img_path = "CAMERA/train_list.txt"
@@ -143,7 +144,10 @@ class TrainingDataset:
                                          replace=num_img <= self.num_img_per_epoch)
 
     def __getitem__(self, index: int) -> dict:
-        rng = self.rng
+        # per-call RNG: deterministic per (seed, epoch resample, index) and
+        # safe under threaded loaders (a shared RandomState would race)
+        rng = np.random.RandomState(
+            (hash((self.base_seed, int(self.img_index[index]), index)) & 0x7FFFFFFF))
         img_path = os.path.join(self.data_dir, self.img_list[self.img_index[index]])
         if self.data_type == "syn" and self.use_composed_img:
             depth = load_composed_depth(img_path)
@@ -238,7 +242,7 @@ class TestDataset:
         self.sample_num = config.sample_num
         self.intrinsics = REAL_INTRINSICS
         self.norm_scale = 1000.0
-        self.rng = np.random.RandomState(seed)
+        self.base_seed = 0 if seed is None else int(seed)
         self.device_preprocess = device_preprocess
 
         pkls = glob.glob(os.path.join(data_dir, "data", "segmentation_results",
@@ -255,7 +259,8 @@ class TestDataset:
         return len(self.result_pkl_list)
 
     def __getitem__(self, index: int) -> dict:
-        rng = self.rng
+        # per-call RNG: thread-safe + order-independent determinism
+        rng = np.random.RandomState((self.base_seed * 1000003 + index) & 0x7FFFFFFF)
         path = self.result_pkl_list[index]
         with open(path, "rb") as f:
             data = pickle.load(f)

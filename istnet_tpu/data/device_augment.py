@@ -85,7 +85,7 @@ def device_augment(batch: dict, rng: Array, aug_bb_pro: float = 0.3,
         sym0 = sym0[:, 0]
     b = pc.shape[0]
 
-    k_bb, k_bbp, k_rtp, k_e, k_a, k_t = jax.random.split(rng, 6)
+    k_bbp, k_rtp, k_e, k_a, k_t = jax.random.split(rng, 5)
 
     # bbox stretch
     ex = jax.random.uniform(k_e, (b, 3), minval=s_range[0], maxval=s_range[1])

@@ -162,8 +162,8 @@ def fill_missing_tpu(depth_mm: Array, cam_scale: float = 1000.0,
 # ---------------------------------------------------------------------------
 
 MAX_CROP = 440  # get_bbox's maximum square window (data_utils.py:48)
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+from istnet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 
 def square_crop_bounds(bboxes: Array, img_h: int = 480, img_w: int = 640) -> Array:
@@ -274,46 +274,81 @@ def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
     pts_map = jnp.pad(pts_map, ((0, 0), (0, MAX_CROP), (0, MAX_CROP), (0, 0)))
     valid_full = jnp.pad(valid_full, ((0, 0), (0, MAX_CROP), (0, MAX_CROP)))
 
-    def per_instance(rgb_i, pts_i, valid_i, bound, cw, k):
-        rmin, _, cmin, _ = bound[0], bound[1], bound[2], bound[3]
-        crop_rgb = lax.dynamic_slice(rgb_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
-        crop_pts = lax.dynamic_slice(pts_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
-        crop_valid = lax.dynamic_slice(valid_i, (rmin, cmin), (MAX_CROP, MAX_CROP))
-        rows = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 1)
-        inside = (rows < cw) & (cols < cw)
-        ok = (crop_valid & inside).reshape(-1)
-
-        # stratified inverse-CDF sample of valid flat indices: one uniform per
-        # stratum of the valid-cell CDF -> (near-)duplicate-free when
-        # count >= sample_num, full coverage with repeats when count <
-        # sample_num (the reference's with/without-replacement split,
-        # dataset.py:388-391). O(cells) cumsum + binary search — a Gumbel
-        # top-k over the 440^2 cells is ~40x slower on TPU.
-        cdf = _blocked_cumsum(ok)
-        count = cdf[-1]
-        v = jax.random.uniform(k, (sample_num,))
-        slot = lax.broadcasted_iota(jnp.float32, (sample_num, 1), 0).squeeze(-1)
-        u = (slot + v) / sample_num * count.astype(jnp.float32)
-        targets = jnp.floor(u).astype(jnp.int32) + 1
-        flat_idx = jnp.searchsorted(cdf, jnp.minimum(targets, jnp.maximum(count, 1)),
-                                    side="left").astype(jnp.int32)
-
-        pts = crop_pts.reshape(-1, 3)[flat_idx]
-        # choose remap for the resized crop (dataset.py:400-404)
-        row_idx = flat_idx // MAX_CROP  # crop rows (window is top-left aligned)
-        col_idx = flat_idx % MAX_CROP
-        ratio = img_size / cw.astype(jnp.float32)
-        choose = (jnp.floor(row_idx * ratio) * img_size
-                  + jnp.floor(col_idx * ratio)).astype(jnp.int32)
-
-        rgb_out = _resize_half_pixel(crop_rgb, cw, img_size)
-        rgb_out = ((rgb_out / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
-        return rgb_out, pts, choose, count
-
     keys = jax.random.split(key, b)
-    rgb_o, pts_o, choose_o, count_o = jax.vmap(per_instance)(
+    rgb_o, pts_o, choose_o, count_o = jax.vmap(
+        functools.partial(_instance_body, img_size=img_size, sample_num=sample_num))(
         rgb, pts_map, valid_full, bounds, crop_w, keys)
+    return {"rgb": rgb_o, "pts": pts_o, "choose": choose_o, "n_valid": count_o}
+
+
+def _instance_body(rgb_i, pts_i, valid_i, bound, cw, k, *, img_size, sample_num):
+    """One instance: crop, sample, backprojected points, resized rgb.
+
+    rgb_i/pts_i/valid_i are (H+MAX_CROP, W+MAX_CROP[, C]) padded maps.
+    """
+    rmin, cmin = bound[0], bound[2]
+    crop_rgb = lax.dynamic_slice(rgb_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
+    crop_pts = lax.dynamic_slice(pts_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
+    crop_valid = lax.dynamic_slice(valid_i, (rmin, cmin), (MAX_CROP, MAX_CROP))
+    rows = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (MAX_CROP, MAX_CROP), 1)
+    inside = (rows < cw) & (cols < cw)
+    ok = (crop_valid & inside).reshape(-1)
+
+    # stratified inverse-CDF sample of valid flat indices: one uniform per
+    # stratum of the valid-cell CDF -> (near-)duplicate-free when
+    # count >= sample_num, full coverage with repeats when count <
+    # sample_num (the reference's with/without-replacement split,
+    # dataset.py:388-391). O(cells) cumsum + binary search — a Gumbel
+    # top-k over the 440^2 cells is ~40x slower on TPU.
+    cdf = _blocked_cumsum(ok)
+    count = cdf[-1]
+    v = jax.random.uniform(k, (sample_num,))
+    slot = lax.broadcasted_iota(jnp.float32, (sample_num, 1), 0).squeeze(-1)
+    u = (slot + v) / sample_num * count.astype(jnp.float32)
+    targets = jnp.floor(u).astype(jnp.int32) + 1
+    flat_idx = jnp.searchsorted(cdf, jnp.minimum(targets, jnp.maximum(count, 1)),
+                                side="left").astype(jnp.int32)
+
+    pts = crop_pts.reshape(-1, 3)[flat_idx]
+    # choose remap for the resized crop (dataset.py:400-404)
+    row_idx = flat_idx // MAX_CROP  # crop rows (window is top-left aligned)
+    col_idx = flat_idx % MAX_CROP
+    ratio = img_size / cw.astype(jnp.float32)
+    choose = (jnp.floor(row_idx * ratio) * img_size
+              + jnp.floor(col_idx * ratio)).astype(jnp.int32)
+
+    rgb_out = _resize_half_pixel(crop_rgb, cw, img_size)
+    rgb_out = ((rgb_out / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    return rgb_out, pts, choose, count
+
+
+def preprocess_shared_image_tpu(rgb: Array, depth_mm: Array, masks: Array,
+                                bboxes: Array, intrinsics: Array, key: Array,
+                                img_size: int = 192, sample_num: int = 1024,
+                                norm_scale: float = 1000.0) -> dict:
+    """Instance preprocessing when all K instances come from ONE image
+    (the test-time case): the image is backprojected and padded ONCE and
+    shared across instances — the per-instance-image variant would
+    materialize K identical (H+440, W+440, 3) maps (~760 MB at K=64).
+
+    rgb (H, W, 3) uint8, depth_mm (H, W), masks (K, H, W) bool, bboxes (K, 4).
+    """
+    k_inst = masks.shape[0]
+    bounds = square_crop_bounds(bboxes, depth_mm.shape[0], depth_mm.shape[1])
+    crop_w = bounds[:, 1] - bounds[:, 0]
+
+    pts_map = backproject_batch(depth_mm[None], intrinsics, norm_scale)[0]
+    rgb_p = jnp.pad(rgb, ((0, MAX_CROP), (0, MAX_CROP), (0, 0)))
+    pts_p = jnp.pad(pts_map, ((0, MAX_CROP), (0, MAX_CROP), (0, 0)))
+    valid_p = jnp.pad(masks & (depth_mm > 0)[None],
+                      ((0, 0), (0, MAX_CROP), (0, MAX_CROP)))
+
+    keys = jax.random.split(key, k_inst)
+    rgb_o, pts_o, choose_o, count_o = jax.vmap(
+        functools.partial(_instance_body, img_size=img_size, sample_num=sample_num),
+        in_axes=(None, None, 0, 0, 0, 0))(
+        rgb_p, pts_p, valid_p, bounds, crop_w, keys)
     return {"rgb": rgb_o, "pts": pts_o, "choose": choose_o, "n_valid": count_o}
 
 

@@ -89,18 +89,16 @@ def make_device_forward(model, variables, intrinsics, img_size: int = 192,
     import jax.numpy as jnp
 
     from istnet_tpu.data.device_preprocess import (
-        fill_missing_tpu, preprocess_instances_tpu)
+        fill_missing_tpu, preprocess_shared_image_tpu)
 
     intr = jnp.asarray(intrinsics, jnp.float32)
 
     @jax.jit
     def fn(rgb_full, depth_raw, masks, bboxes, category, key):
         filled = fill_missing_tpu(depth_raw[None])[0]
-        k = masks.shape[0]
-        pre = preprocess_instances_tpu(
-            jnp.broadcast_to(rgb_full[None], (k,) + rgb_full.shape),
-            jnp.broadcast_to(filled[None], (k,) + filled.shape),
-            masks, bboxes, intr, key, img_size=img_size, sample_num=sample_num)
+        pre = preprocess_shared_image_tpu(
+            rgb_full, filled, masks, bboxes, intr, key,
+            img_size=img_size, sample_num=sample_num)
         inputs = {"rgb": pre["rgb"], "pts": pre["pts"], "choose": pre["choose"],
                   "category_label": category.astype(jnp.int32)}
         return model.apply(variables, inputs, train=False), pre["n_valid"]

@@ -40,16 +40,31 @@ def _ball_query_kernel(new_xyz_ref, xyz_t_ref, *out_refs,
                  precision=lax.Precision.HIGHEST)                 # (TM, N)
     d2 = an + bn - 2.0 * ab       # shared by all radii
 
-    # inclusive prefix sum as an int8 MXU matmul against an upper-triangular
-    # ones matrix (Mosaic has no cumsum; this beats Hillis-Steele rolls ~10%)
-    r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    tri = (r_ <= c_).astype(jnp.int8)
+    # inclusive prefix sum along lanes (Mosaic has no cumsum):
+    # - N <= 1024: int8 MXU matmul against an upper-triangular ones matrix
+    #   (~10% faster than rolls; (N, N) tri stays small)
+    # - larger N (the 2048-pt config): Hillis-Steele doubling with masked
+    #   rolls — the O(N^2) triangle would strain VMEM there
+    use_tri = n <= 1024
+    if use_tri:
+        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        tri = (r_ <= c_).astype(jnp.int8)
+    else:
+        lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
-        cs = lax.dot_general(hit.astype(jnp.int8), tri,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.int32)
+        if use_tri:
+            cs = lax.dot_general(hit.astype(jnp.int8), tri,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        else:
+            cs = hit.astype(jnp.int32)
+            shift = 1
+            while shift < n:
+                rolled = pltpu.roll(cs, shift, axis=1)
+                cs = cs + jnp.where(lane >= shift, rolled, 0)
+                shift *= 2
 
         cols = []
         for s in range(nsample):

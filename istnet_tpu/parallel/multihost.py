@@ -31,17 +31,24 @@ PyTree = Any
 
 
 def initialize(**kwargs) -> None:
-    """jax.distributed.initialize, tolerant of single-process runs.
+    """jax.distributed.initialize, tolerant ONLY of the single-process case.
 
     MUST be called before any other JAX API touches the backend (including
-    jax.process_count()), which is why this swallows the no-coordinator error
-    instead of probing first.
+    jax.process_count()). When a coordinator IS configured (kwargs or the
+    standard env vars), failures propagate — silently degrading a pod run to
+    N independent single-host runs would train N wrong models quietly.
     """
+    import os
+
+    configured = bool(kwargs) or any(
+        os.environ.get(v) for v in
+        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        # single-process run (no coordinator configured) or already initialized
-        pass
+        if configured:
+            raise
+        # single-process run with no coordinator configured — fine
 
 
 def per_host_batch_size(global_batch: int) -> int:

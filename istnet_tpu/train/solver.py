@@ -72,6 +72,14 @@ class Solver:
         if td and td.get("use_device_aug", False):
             from istnet_tpu.data.device_augment import device_augment
 
+            # only bb/rt exist on device (the augs the shipped configs enable);
+            # refuse configs that would silently drop bc/pc/nl
+            for k in ("aug_bc_pro", "aug_pc_pro", "aug_nl_pro"):
+                if float(td.get(k, 0.0)) > 0.0:
+                    raise ValueError(
+                        f"use_device_aug supports only bb/rt augs; {k} > 0 "
+                        "requires the host path (use_shape_aug)")
+
             def augment_fn(batch, rng, _td=td):
                 return device_augment(batch, rng,
                                       aug_bb_pro=float(_td.get("aug_bb_pro", 0.3)),
