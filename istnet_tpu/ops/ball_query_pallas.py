@@ -89,9 +89,10 @@ def ball_query_multi_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     """
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    # large tiles: per-program overhead dominates at these shapes; the
-    # (TM, N) working set at the largest stage (512 x 1024) is ~6 MB of VMEM
-    tm = min(m, 512)
+    # large tiles amortize per-program overhead, but the (TM, N) working set
+    # (d2 f32 + cs i32 + temps) must stay under the ~16 MB VMEM scoped limit:
+    # cap TM*N at 512*1024 (measured ~6 MB); N=2048 then runs at TM=256
+    tm = min(m, max(128, (512 * 1024) // n))
     if m % tm or n % 128:
         raise ValueError(f"ball_query_pallas needs M%{tm}==0 and N%128==0, got M={m} N={n}")
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)

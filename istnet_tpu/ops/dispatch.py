@@ -28,7 +28,7 @@ def furthest_point_sample(xyz, npoint: int):
 def ball_query(radius: float, nsample: int, xyz, new_xyz):
     """Ball query with automatic kernel selection (fused Pallas on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]
-    tm = min(m, 512)
+    tm = min(m, max(128, (512 * 1024) // n))
     if _on_tpu() and n % 128 == 0 and m % tm == 0:
         return _bq_pl.ball_query_pallas(radius, nsample, xyz, new_xyz)
     return _xla.ball_query(radius, nsample, xyz, new_xyz)
@@ -45,7 +45,7 @@ def three_nn(unknown, known):
 def ball_query_multi(radii, nsamples, xyz, new_xyz):
     """Multi-radius ball query over shared centroids (one fused kernel on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]
-    tm = min(m, 512)
+    tm = min(m, max(128, (512 * 1024) // n))
     if _on_tpu() and n % 128 == 0 and m % tm == 0:
         return _bq_pl.ball_query_multi_pallas(tuple(radii), tuple(nsamples),
                                               xyz, new_xyz)
