@@ -141,19 +141,22 @@ def main():
 
     dl_cfg = cfg.train_dataloader
     iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
+    device_pre = bool(cfg.train_dataset.get("use_device_preprocess", False))
     syn_ds = TrainingDataset(cfg.train_dataset, args.data_dir, data_type="syn",
                              num_img_per_epoch=iters_per_epoch * int(dl_cfg.syn_bs),
                              use_fill_miss=bool(dl_cfg.use_fill_miss),
                              use_composed_img=bool(dl_cfg.use_composed_img),
                              per_obj=dl_cfg.get("per_obj", ""),
-                             seed=int(cfg.get("rd_seed", 1)))
+                             seed=int(cfg.get("rd_seed", 1)),
+                             device_preprocess=device_pre)
     real_ds = TrainingDataset(cfg.train_dataset, args.data_dir,
                               data_type="real_withLabel",
                               num_img_per_epoch=iters_per_epoch * int(dl_cfg.real_bs),
                               use_fill_miss=bool(dl_cfg.use_fill_miss),
                               use_composed_img=bool(dl_cfg.use_composed_img),
                               per_obj=dl_cfg.get("per_obj", ""),
-                              seed=int(cfg.get("rd_seed", 1)) + 1)
+                              seed=int(cfg.get("rd_seed", 1)) + 1,
+                              device_preprocess=device_pre)
     syn_loader = DataLoader(syn_ds, int(dl_cfg.syn_bs), shuffle=bool(dl_cfg.shuffle),
                             drop_last=bool(dl_cfg.drop_last),
                             num_workers=int(dl_cfg.num_workers))

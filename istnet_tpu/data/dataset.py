@@ -72,11 +72,18 @@ def update_choose_for_resize(choose: np.ndarray, crop_w: int, img_size: int) -> 
 class TrainingDataset:
     def __init__(self, config, data_dir: str, data_type: str = "real_withLabel",
                  num_img_per_epoch: int = -1, use_fill_miss: bool = True,
-                 use_composed_img: bool = True, per_obj: str = "", seed: int | None = None):
+                 use_composed_img: bool = True, per_obj: str = "", seed: int | None = None,
+                 device_preprocess: bool = False):
         self.config = config
         self.data_dir = data_dir
         self.data_type = data_type
         self.use_shape_aug = config.get("use_shape_aug", False)
+        self.device_preprocess = device_preprocess
+        if device_preprocess and self.use_shape_aug:
+            raise ValueError(
+                "device_preprocess emits raw arrays (no host pts); shape "
+                "augmentation must run on device too — set use_device_aug "
+                "instead of use_shape_aug")
         self.num_img_per_epoch = num_img_per_epoch
         self.use_fill_miss = use_fill_miss
         self.use_composed_img = use_composed_img
@@ -155,7 +162,7 @@ class TrainingDataset:
             depth = load_depth(img_path)
         if depth is None:
             return self[rng.randint(len(self))]
-        if self.use_fill_miss:
+        if self.use_fill_miss and not self.device_preprocess:
             depth = fill_missing(depth, self.norm_scale, 1)
 
         with open(img_path + "_label.pkl", "rb") as f:
@@ -168,6 +175,34 @@ class TrainingDataset:
         else:
             idx = rng.randint(0, num_instance)
         cat_id = gts["class_ids"][idx] - 1  # 0-indexed
+
+        if self.device_preprocess:
+            # raw-array mode: emit the un-preprocessed image + instance mask;
+            # depth completion / crop / sampling / jitter / ColorJitter / qo
+            # all happen on device (data.device_preprocess.make_train_preprocess)
+            inst_mask = np.equal(mask, gts["instance_ids"][idx])
+            if not inst_mask.any():
+                return self[rng.randint(len(self))]
+            translation = gts["translations"][idx].astype(np.float32)
+            rotation = gts["rotations"][idx].astype(np.float32)
+            size = (gts["scales"][idx] * gts["sizes"][idx]).astype(np.float32)
+            if cat_id in SYM_IDS:
+                rotation = sym_canonical_rotation(rotation)
+            return {
+                "depth_raw": depth.astype(np.float32),
+                "rgb_raw": np.ascontiguousarray(
+                    cv2.imread(img_path + "_color.png")[:, :, :3][:, :, ::-1],
+                    np.uint8),
+                "mask_raw": inst_mask,
+                "bbox": np.asarray(gts["bboxes"][idx], np.int32),
+                "intrinsics": np.asarray(self.intrinsics, np.float32),
+                "category_label": np.int64(cat_id),
+                "rotation_label": rotation,
+                "translation_label": translation,
+                "size_label": size,
+                "sym_info": get_sym_info(CAT_NAMES[cat_id], mug_handle=1),
+            }
+
         rmin, rmax, cmin, cmax = get_bbox(gts["bboxes"][idx])
         inst_mask = np.equal(mask, gts["instance_ids"][idx])
         inst_mask = np.logical_and(inst_mask, depth > 0)
@@ -272,8 +307,17 @@ class TestDataset:
 
         rgb_full = cv2.imread(image_path + "_color.png")[:, :, :3][:, :, ::-1]
 
+        raw_depth = load_depth(image_path)
+        if raw_depth is None:
+            # self-heal a missing/corrupt depth PNG: emit an empty result so
+            # the image still contributes its GTs to the metric (the train
+            # path's analogue of dataset.py:169-171; the reference test path
+            # would crash here)
+            return {"index": index, "empty": True, "gt": data,
+                    "flag_instance": np.zeros(num_instance, bool),
+                    "image_path": image_path}
+
         if self.device_preprocess:
-            raw_depth = load_depth(image_path)
             return {
                 "index": index,
                 "empty": num_instance == 0,
@@ -291,8 +335,7 @@ class TestDataset:
         coord = coord.astype(np.float32) / 255.0
         coord[:, :, 2] = 1 - coord[:, :, 2]
 
-        depth = load_depth(image_path)
-        depth = fill_missing(depth, self.norm_scale, 1)
+        depth = fill_missing(raw_depth, self.norm_scale, 1)
         pts_map = backproject(depth, self.intrinsics, self.norm_scale)
 
         all_pts, all_rgb, all_nocs, all_choose, all_cat_ids = [], [], [], [], []

@@ -140,9 +140,16 @@ def fill_in_multiscale_tpu(depth: Array, max_depth: float = 3.0) -> Array:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def backproject_batch(depth: Array, intrinsics: Array, norm_scale: float = 1000.0) -> Array:
-    """(B, H, W) depth (mm) + (4,) [fx, fy, cx, cy] -> (B, H, W, 3) meters."""
+    """(B, H, W) depth (mm) + intrinsics [fx, fy, cx, cy] -> (B, H, W, 3) m.
+
+    ``intrinsics`` is either shared ``(4,)`` or per-sample ``(B, 4)`` (mixed
+    CAMERA/REAL training batches use different cameras, ``dataset.py:36-37``).
+    """
     b, h, w = depth.shape
-    fx, fy, cx, cy = intrinsics
+    if intrinsics.ndim == 2:
+        fx, fy, cx, cy = (intrinsics[:, i][:, None, None] for i in range(4))
+    else:
+        fx, fy, cx, cy = intrinsics
     z = depth.astype(jnp.float32) / norm_scale
     xs = lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
     ys = lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
@@ -237,7 +244,8 @@ def _blocked_cumsum(ok: Array) -> Array:
 def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
                              bboxes: Array, intrinsics: Array, key: Array,
                              img_size: int = 192, sample_num: int = 1024,
-                             norm_scale: float = 1000.0) -> dict:
+                             norm_scale: float = 1000.0,
+                             normalize: bool = True) -> dict:
     """Device-side equivalent of the per-instance test preprocessing
     (``dataset.py:380-404``): square crop, in-mask point sampling,
     backprojection, RGB resize + ImageNet normalization — one jitted program,
@@ -276,15 +284,19 @@ def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
 
     keys = jax.random.split(key, b)
     rgb_o, pts_o, choose_o, count_o = jax.vmap(
-        functools.partial(_instance_body, img_size=img_size, sample_num=sample_num))(
+        functools.partial(_instance_body, img_size=img_size,
+                          sample_num=sample_num, normalize=normalize))(
         rgb, pts_map, valid_full, bounds, crop_w, keys)
     return {"rgb": rgb_o, "pts": pts_o, "choose": choose_o, "n_valid": count_o}
 
 
-def _instance_body(rgb_i, pts_i, valid_i, bound, cw, k, *, img_size, sample_num):
+def _instance_body(rgb_i, pts_i, valid_i, bound, cw, k, *, img_size, sample_num,
+                   normalize=True):
     """One instance: crop, sample, backprojected points, resized rgb.
 
     rgb_i/pts_i/valid_i are (H+MAX_CROP, W+MAX_CROP[, C]) padded maps.
+    With ``normalize=False`` the resized rgb stays in 0..255 float (the train
+    path inserts device ColorJitter before normalization).
     """
     rmin, cmin = bound[0], bound[2]
     crop_rgb = lax.dynamic_slice(rgb_i, (rmin, cmin, 0), (MAX_CROP, MAX_CROP, 3))
@@ -319,7 +331,8 @@ def _instance_body(rgb_i, pts_i, valid_i, bound, cw, k, *, img_size, sample_num)
               + jnp.floor(col_idx * ratio)).astype(jnp.int32)
 
     rgb_out = _resize_half_pixel(crop_rgb, cw, img_size)
-    rgb_out = ((rgb_out / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    if normalize:
+        rgb_out = ((rgb_out / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
     return rgb_out, pts, choose, count
 
 
@@ -358,7 +371,8 @@ def preprocess_train_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
                                    size: Array, key: Array,
                                    img_size: int = 192, sample_num: int = 1024,
                                    norm_scale: float = 1000.0,
-                                   shift_range: float = 0.005) -> dict:
+                                   shift_range: float = 0.005,
+                                   normalize: bool = True) -> dict:
     """Training-side device preprocessing: the test pipeline plus the point
     jitter (``dataset.py:210``: clip(0.001*randn, +-0.005)) and the GT NOCS
     target ``qo = (pts - t)/||s|| @ R`` (``dataset.py:249``; R must already be
@@ -371,7 +385,7 @@ def preprocess_train_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
     out = preprocess_instances_tpu(rgb, depth_mm, masks, bboxes, intrinsics,
                                    key, img_size=img_size,
                                    sample_num=sample_num,
-                                   norm_scale=norm_scale)
+                                   norm_scale=norm_scale, normalize=normalize)
     k_j, _ = jax.random.split(jax.random.fold_in(key, 1))
     jitter = jnp.clip(0.001 * jax.random.normal(k_j, out["pts"].shape),
                       -shift_range, shift_range)
@@ -384,3 +398,51 @@ def preprocess_train_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
     out["pts"] = pts
     out["qo"] = qo
     return out
+
+
+def make_train_preprocess(img_size: int = 192, sample_num: int = 1024,
+                          use_fill_miss: bool = True, norm_scale: float = 1000.0,
+                          shift_range: float = 0.005,
+                          jitter=(0.2, 0.2, 0.2, 0.05)):
+    """Build the fully-device training input pipeline.
+
+    Returns ``preprocess(raw_batch, key) -> {"inputs", "labels"}`` — the
+    device-side replacement for the host work in
+    ``TrainingDataset.__getitem__`` (reference ``dataset.py:162-296``): depth
+    completion, square crop, in-mask sampling, backprojection, point jitter,
+    RGB resize + ColorJitter + ImageNet normalization, GT NOCS ``qo``. Runs
+    inside the jitted (and DP-sharded) train step, so each device
+    preprocesses its own batch shard.
+
+    ``raw_batch`` is the collated output of
+    ``TrainingDataset(device_preprocess=True)``: depth_raw (B, H, W) f32 mm,
+    rgb_raw (B, H, W, 3) u8, mask_raw (B, H, W) bool, bbox (B, 4) i32,
+    intrinsics (B, 4) f32, plus the pose labels (rotation already
+    symmetry-canonicalized on the host) and category/sym_info.
+    """
+    from istnet_tpu.data.device_transforms import color_jitter_batch
+    from istnet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    def preprocess(raw: dict, key: Array) -> dict:
+        depth = raw["depth_raw"].astype(jnp.float32)
+        if use_fill_miss:
+            depth = fill_missing_tpu(depth, norm_scale, 1.0)
+        k_pre, k_cj = jax.random.split(key)
+        out = preprocess_train_instances_tpu(
+            raw["rgb_raw"], depth, raw["mask_raw"], raw["bbox"],
+            raw["intrinsics"].astype(jnp.float32),
+            raw["rotation_label"], raw["translation_label"], raw["size_label"],
+            k_pre, img_size=img_size, sample_num=sample_num,
+            norm_scale=norm_scale, shift_range=shift_range, normalize=False)
+        rgb = color_jitter_batch(out["rgb"], k_cj, *jitter)
+        rgb = ((rgb / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        inputs = {"rgb": rgb, "pts": out["pts"],
+                  "choose": out["choose"].astype(jnp.int32),
+                  "category_label": raw["category_label"].astype(jnp.int32),
+                  "qo": out["qo"], "sym_info": raw["sym_info"]}
+        labels = {"rotation_label": raw["rotation_label"],
+                  "translation_label": raw["translation_label"],
+                  "size_label": raw["size_label"], "qo": out["qo"]}
+        return {"inputs": inputs, "labels": labels}
+
+    return preprocess

@@ -67,8 +67,22 @@ class Solver:
                         f"(global batch {global_bs})")
         self.mesh = make_mesh(nd)
 
-        augment_fn = None
+        preprocess_fn = None
         td = cfg.get("train_dataset", {})
+        self.device_preprocess = bool(td and td.get("use_device_preprocess", False))
+        if self.device_preprocess:
+            from istnet_tpu.data.device_preprocess import make_train_preprocess
+
+            dl = cfg.get("train_dataloader", {})
+            # NOTE: point jitter is clip(0.001*randn, +-0.005) with the 0.005
+            # hardcoded, matching the reference (dataset.py:210 ignores its
+            # own config shift_range) — don't wire config.shift_range here
+            preprocess_fn = make_train_preprocess(
+                img_size=int(td.get("img_size", 192)),
+                sample_num=int(td.get("sample_num", 1024)),
+                use_fill_miss=bool(dl.get("use_fill_miss", True)) if dl else True)
+
+        augment_fn = None
         if td and td.get("use_device_aug", False):
             from istnet_tpu.data.device_augment import device_augment
 
@@ -85,7 +99,8 @@ class Solver:
                                       aug_bb_pro=float(_td.get("aug_bb_pro", 0.3)),
                                       aug_rt_pro=float(_td.get("aug_rt_pro", 0.3)))
 
-        step_fn = make_train_step(model, loss_fn, tx, cfg.bn, augment_fn=augment_fn)
+        step_fn = make_train_step(model, loss_fn, tx, cfg.bn, augment_fn=augment_fn,
+                                  preprocess_fn=preprocess_fn)
         self.train_step = jit_train_step_dp(step_fn, self.mesh)
         state = start_state or create_train_state(
             variables["params"], variables["batch_stats"], tx)
@@ -113,12 +128,24 @@ class Solver:
             if loader is not None and getattr(loader.dataset, "num_img_per_epoch", -1) != -1:
                 loader.dataset.reset()
 
+        # the reference's epoch contract is EXACTLY num_mini_batch_per_epoch
+        # iterations (solver.py:85, datasets resampled to 4000*bs images);
+        # enforce it here instead of trusting loader sizing — a Solver user
+        # with unsized datasets would otherwise silently get a different
+        # epoch length
+        import itertools
         iters = zip(self.syn_loader, self.real_loader) if self.real_loader else (
             (b, None) for b in self.syn_loader)
+        iters = itertools.islice(iters, self.iters_per_epoch)
+        n_done = 0
         t_data0 = time.time()
         for i, (syn_np, real_np) in enumerate(iters):
+            n_done = i + 1
             merged = concat_batches(syn_np, real_np) if real_np is not None else syn_np
-            batch = shard_batch(self.mesh, split_batch(merged))
+            # raw-array mode ships the flat raw batch; the split into
+            # inputs/labels happens on device inside preprocess_fn
+            batch = shard_batch(self.mesh, merged if self.device_preprocess
+                                else split_batch(merged))
             t_data = time.time() - t_data0
 
             self.rng, sub = jax.random.split(self.rng)
@@ -138,3 +165,8 @@ class Solver:
                 self.writer.add_scalars("train/", avg, step)
                 self.log_buffer.clear()
             t_data0 = time.time()
+        if n_done < self.iters_per_epoch and self.logger is not None:
+            self.logger.warning(
+                f"epoch {epoch} ran {n_done}/{self.iters_per_epoch} iters — "
+                "loaders exhausted early; size datasets with num_img_per_epoch "
+                "= iters * batch to honor the reference epoch contract")

@@ -96,16 +96,25 @@ def ema_batch_stats(running: PyTree, batch: PyTree, momentum: Array) -> PyTree:
 
 
 def make_train_step(model, loss_fn: Callable, tx, bn_cfg,
-                    augment_fn: Callable | None = None) -> Callable:
+                    augment_fn: Callable | None = None,
+                    preprocess_fn: Callable | None = None) -> Callable:
     """Build the jittable train step.
 
     loss_fn(end_points, batch) -> (total, parts_dict).
     augment_fn(batch, rng) -> batch, applied on device inside the step (the
     "on-device augmentation" path, istnet_tpu.data.device_augment).
+    preprocess_fn(raw_batch, rng) -> {"inputs", "labels"}: when set, ``batch``
+    is the RAW collated batch (TrainingDataset(device_preprocess=True)) and
+    the whole input pipeline (depth fill, crop, sample, jitter, ColorJitter,
+    qo) runs on device inside this same jitted program, sharded with the
+    batch (data.device_preprocess.make_train_preprocess).
     Returns step(state, batch, dropout_rng) -> (state, metrics).
     """
 
     def train_step(state: TrainState, batch: dict, dropout_rng) -> tuple[TrainState, dict]:
+        if preprocess_fn is not None:
+            pre_rng, dropout_rng = jax.random.split(dropout_rng)
+            batch = preprocess_fn(batch, pre_rng)
         if augment_fn is not None:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             batch = augment_fn(batch, aug_rng)

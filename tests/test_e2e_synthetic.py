@@ -208,6 +208,104 @@ def test_test_dataset_and_full_eval(synthetic_root, tmp_path):
     assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
 
 
+def _write_seg_result(seg_dir, gts, stem):
+    n = len(gts["class_ids"])
+    pred_masks = np.zeros((480, 640, n), np.uint8)
+    for j, (y0, x0, y1, x1) in enumerate(gts["bboxes"]):
+        pred_masks[y0:y1, x0:x1, j] = 1
+    rts = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    rts[:, :3, 3] = gts["translations"]
+    result = {
+        "image_path": f"data/real/test/scene_1/{stem}",
+        "pred_masks": pred_masks,
+        "pred_class_ids": np.asarray(gts["class_ids"]),
+        "pred_bboxes": gts["bboxes"],
+        "pred_scores": np.ones(n, np.float32),
+        "gt_class_ids": np.asarray(gts["class_ids"]),
+        "gt_bboxes": gts["bboxes"],
+        "gt_RTs": rts,
+        "gt_scales": np.tile(np.asarray([0.1, 0.2, 0.1], np.float32), (n, 1)),
+        "gt_handle_visibility": np.ones(n, np.int64),
+    }
+    os.makedirs(seg_dir, exist_ok=True)
+    with open(os.path.join(seg_dir, f"results_test_scene_1_{stem}.pkl"), "wb") as f:
+        pickle.dump(result, f)
+
+
+def test_missing_depth_self_heals_to_empty_result(tmp_path):
+    """A corrupt/missing depth PNG must yield an empty-prediction result, not
+    a crash (round-1 finding: dataset.py device path threw AttributeError)."""
+    data_dir = tmp_path / "data"
+    test_dir = data_dir / "data" / "Real" / "test" / "scene_1"
+    seg_dir = data_dir / "data" / "segmentation_results" / "test_trainedwithMask"
+    gts = _write_scene(str(test_dir), "0000", seed=3, coord=True)
+    _write_seg_result(str(seg_dir), gts, "0000")
+    os.remove(str(test_dir / "0000_depth.png"))
+
+    cfg = _cfg()
+    for device_preprocess in (False, True):
+        ds = TestDataset(cfg, str(data_dir), device_preprocess=device_preprocess)
+        data = ds[0]
+        assert data["empty"]
+        assert "masks" not in data and "pts" not in data
+
+    # and the device loop writes a valid zero-pred pkl for it
+    from istnet_tpu.eval.test_loop import test_func_device
+
+    ds = TestDataset(cfg, str(data_dir), device_preprocess=True)
+    save = str(tmp_path / "res")
+    test_func_device(lambda *a: (_ for _ in ()).throw(AssertionError("no fwd")),
+                     ds, save, progress=False)
+    with open(os.path.join(save, os.listdir(save)[0]), "rb") as f:
+        result = pickle.load(f)
+    assert result["pred_RTs"].shape == (0, 4, 4)
+    assert len(result["pred_class_ids"]) == 0
+    assert len(result["gt_class_ids"]) == 2
+
+
+def test_batched_eval_matches_per_image(synthetic_root, tmp_path):
+    """Cross-image batched inference writes the same results as the
+    per-image bucketed loop (one compiled shape, full device batches)."""
+    from istnet_tpu.eval.test_loop import test_func, test_func_batched
+    from istnet_tpu.models.ist_net import ISTNet
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root)
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {"rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+             "pts": jnp.zeros((1, N_PTS, 3)),
+             "choose": jnp.zeros((1, N_PTS), jnp.int32),
+             "category_label": jnp.zeros((1,), jnp.int32),
+             "qo": jnp.zeros((1, N_PTS, 3))}
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def forward(inputs):
+        return model.apply(ev, inputs, train=False)
+
+    save_a = str(tmp_path / "per_image")
+    save_b = str(tmp_path / "batched")
+    test_func(forward, ds, save_a, progress=False, max_bucket=4)
+    # batch 3 < total instances (4): forces an image to span two flushes
+    test_func_batched(forward, ds, save_b, progress=False, batch_size=3)
+
+    pkls = sorted(os.listdir(save_a))
+    assert sorted(os.listdir(save_b)) == pkls and len(pkls) == 2
+    for name in pkls:
+        with open(os.path.join(save_a, name), "rb") as f:
+            a = pickle.load(f)
+        with open(os.path.join(save_b, name), "rb") as f:
+            b = pickle.load(f)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float64), np.asarray(b[k], np.float64),
+                rtol=2e-4, atol=2e-5, err_msg=f"{name}:{k}")
+
+
 def test_device_preprocess_test_path(synthetic_root, tmp_path):
     """The fully-device test pipeline produces valid result pkls + metrics."""
     from istnet_tpu.data.dataset import REAL_INTRINSICS
