@@ -11,11 +11,21 @@ batched on the TPU inside the train step, as float math on 0..255 images:
 - saturation: blend with the per-pixel grayscale           (PIL Color)
 - hue:        HSV hue rotation by ``f`` turns              (torchvision F.adjust_hue)
 
+Performance design: brightness/contrast/saturation are all linear maps of
+the form ``p -> a*p + b*gray(p)*1 + c*mean(gray)*1``, and that 3-parameter
+family is CLOSED under composition (gray/mean of such a map are affine in
+the original gray/mean). So instead of materializing all four candidate
+images at each of 4 permutation steps (16 full-image op evaluations, 44 ms
+of which was the HSV round trip x4), the batched transform composes the
+ops BEFORE the hue rotation into one (a, b, c) triple per sample, applies
+one fused affine pass, rotates hue ONCE, and applies the composed suffix
+affine pass: 167 ms -> ~10 ms at B=24 on a v5e chip.
+
 Differences from the host/PIL path (deliberate, training-noise level):
-float pipeline (no uint8 quantization between ops, <1/255 per op) and an
-exact float grayscale mean where PIL rounds to an int. Per-sample random
-ORDER is preserved (a (B,) permutation index selects one of the 24 op
-orders per sample).
+float pipeline (no uint8 quantization between ops, <1/255 per op); exact
+float grayscale mean where PIL rounds; clipping applied after each affine
+GROUP rather than after each op (identical unless an intermediate op
+saturates a pixel). Per-sample factors AND per-sample op order preserved.
 """
 
 from __future__ import annotations
@@ -28,7 +38,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _GRAY = jnp.array([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601-2, PIL "L"
-_ORDERS = tuple(itertools.permutations(range(4)))  # 24 orders of 4 ops
+_ORDERS = tuple(itertools.permutations(range(4)))  # 24 orders of the 4 ops
 
 
 def adjust_brightness(img: Array, f: Array) -> Array:
@@ -61,17 +71,15 @@ def _rgb_to_hsv(rgb: Array) -> Array:
 
 
 def _hsv_to_rgb(hsv: Array) -> Array:
+    """Branchless HSV -> RGB: f(n) = v - v*s*clamp(min(k, 4-k), 0, 1),
+    k = (n + 6h) mod 6 — pure arithmetic, no per-sextant selects."""
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - f * s)
-    t = v * (1.0 - (1.0 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+
+    def f(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([f(5.0), f(3.0), f(1.0)], axis=-1)
 
 
 def adjust_hue(img: Array, f: Array) -> Array:
@@ -83,6 +91,32 @@ def adjust_hue(img: Array, f: Array) -> Array:
     return jnp.clip(out * 255.0, 0.0, 255.0)
 
 
+def _compose_affine(a, b, c, op, f):
+    """Compose one adjustment onto the map p -> a*p + b*G0(p) + c*M0(p).
+
+    G0/M0 are per-pixel gray / scalar gray-mean of the map's INPUT image;
+    gray(a*p + b*G0 + c*M0) = (a+b)*G0 + c*M0 and mean(...) = (a+b+c)*M0,
+    which keeps the family closed:
+      brightness: (f*a, f*b, f*c)
+      contrast:   (f*a, f*b, f*c + (1-f)*(a+b+c))
+      saturation: (f*a, f*b + (1-f)*(a+b), c)
+    """
+    a2 = f * a
+    b2 = jnp.where(op == 2, f * b + (1 - f) * (a + b), f * b)
+    c2 = jnp.where(op == 1, f * c + (1 - f) * (a + b + c),
+                   jnp.where(op == 2, c, f * c))
+    return a2, b2, c2
+
+
+def _apply_affine(img: Array, a, b, c) -> Array:
+    """img (B, H, W, 3) 0..255; a/b/c (B,) per-sample scalars."""
+    gray = img @ _GRAY  # (B, H, W)
+    mean = jnp.mean(gray, axis=(-2, -1), keepdims=True)  # (B, 1, 1)
+    out = (a[:, None, None, None] * img
+           + (b[:, None, None] * gray + c[:, None, None] * mean)[..., None])
+    return jnp.clip(out, 0.0, 255.0)
+
+
 def color_jitter_batch(rgb: Array, key: Array, brightness: float = 0.2,
                        contrast: float = 0.2, saturation: float = 0.2,
                        hue: float = 0.05) -> Array:
@@ -90,25 +124,40 @@ def color_jitter_batch(rgb: Array, key: Array, brightness: float = 0.2,
 
     Per-sample factors AND per-sample op order (torchvision semantics:
     factors ~ U(1-x, 1+x), hue ~ U(-hue, hue), order a random permutation).
+    Ops before/after the hue rotation are composed into single affine passes
+    (see module docstring).
     """
     b = rgb.shape[0]
     k_f, k_o = jax.random.split(key)
     kb, kc, ks, kh = jax.random.split(k_f, 4)
-    f_b = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
-    f_c = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
-    f_s = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
-    f_h = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
+    f_op = jnp.stack([  # factor of op 0 (brightness), 1 (contrast), 2 (saturation)
+        jax.random.uniform(kb, (b,), minval=1 - brightness, maxval=1 + brightness),
+        jax.random.uniform(kc, (b,), minval=1 - contrast, maxval=1 + contrast),
+        jax.random.uniform(ks, (b,), minval=1 - saturation, maxval=1 + saturation),
+    ], axis=1)  # (B, 3)
+    f_h = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
     order_id = jax.random.randint(k_o, (b,), 0, len(_ORDERS))
-    # op id applied at step s for each sample: (B, 4) lookup table
-    orders = jnp.asarray(_ORDERS, jnp.int32)  # (24, 4)
-    per_sample = orders[order_id]  # (B, 4)
+    per_sample = jnp.asarray(_ORDERS, jnp.int32)[order_id]  # (B, 4); op 3 = hue
 
-    img = rgb.astype(jnp.float32)
+    # compose the affine prefix (ops before hue) and suffix (ops after hue)
+    ones, zeros = jnp.ones((b,)), jnp.zeros((b,))
+    pre = (ones, zeros, zeros)
+    suf = (ones, zeros, zeros)
+    seen_hue = jnp.zeros((b,), bool)
     for step in range(4):
-        op = per_sample[:, step]  # (B,)
-        cand = [adjust_brightness(img, f_b), adjust_contrast(img, f_c),
-                adjust_saturation(img, f_s), adjust_hue(img, f_h)]
-        img = cand[0]
-        for op_id in range(1, 4):
-            img = jnp.where((op == op_id)[:, None, None, None], cand[op_id], img)
+        op = per_sample[:, step]
+        is_hue = op == 3
+        f_step = jnp.take_along_axis(f_op, jnp.minimum(op, 2)[:, None],
+                                     axis=1)[:, 0]
+        npre = _compose_affine(*pre, op, f_step)
+        nsuf = _compose_affine(*suf, op, f_step)
+        apply_pre = (~seen_hue) & (~is_hue)
+        apply_suf = seen_hue & (~is_hue)
+        pre = tuple(jnp.where(apply_pre, n, o) for n, o in zip(npre, pre))
+        suf = tuple(jnp.where(apply_suf, n, o) for n, o in zip(nsuf, suf))
+        seen_hue = seen_hue | is_hue
+
+    img = _apply_affine(rgb.astype(jnp.float32), *pre)
+    img = adjust_hue(img, f_h[:, None, None])
+    img = _apply_affine(img, *suf)
     return img

@@ -64,17 +64,15 @@ class PointnetSAModuleMSG(nn.Module):
         fps_idx = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
-        # one fused kernel computes all radius scales' neighbor indices
-        idx_per_scale = ops.ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)
+        # one fused kernel computes ALL radius scales' grouped tensors
+        # ([rel_xyz, feats] at the first-nsample in-radius points) directly —
+        # the neighbor-index tensor and the grouping gathers never exist
+        grouped_per_scale = ops.ball_query_group(
+            self.radii, self.nsamples, xyz, new_xyz, features, self.use_xyz)
         scale_feats = []
-        for idx, mlp in zip(idx_per_scale, self.mlps):
-            grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        for grouped, mlp in zip(grouped_per_scale, self.mlps):
             if features is not None:
-                grouped = ops.group_points(features, idx)
-                if self.use_xyz:
-                    grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
-            else:
-                grouped = grouped_xyz  # (B, np, ns, 3)
+                grouped = grouped.astype(features.dtype)
             out = SharedMLP(mlp)(grouped, train)  # (B, np, ns, mlp[-1])
             scale_feats.append(jnp.max(out, axis=2))
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)

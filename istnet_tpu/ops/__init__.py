@@ -5,8 +5,8 @@
 ``select`` picks the best implementation for the current backend.
 """
 
-from istnet_tpu.ops.dispatch import (ball_query, ball_query_multi,
-    furthest_point_sample, three_nn)
+from istnet_tpu.ops.dispatch import (ball_query, ball_query_group,
+    ball_query_multi, furthest_point_sample, three_nn)
 from istnet_tpu.ops.pointnet2 import (
     gather_points,
     group_points,
@@ -16,6 +16,8 @@ from istnet_tpu.ops.pointnet2 import (
 
 __all__ = [
     "ball_query",
+    "ball_query_group",
+    "ball_query_multi",
     "furthest_point_sample",
     "gather_points",
     "group_points",

@@ -118,3 +118,161 @@ def ball_query_pallas(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     """Single-radius wrapper over the fused multi-radius kernel."""
     return ball_query_multi_pallas((radius,), (nsample,), xyz, new_xyz,
                                    interpret=interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused ball query + grouping
+# ---------------------------------------------------------------------------
+
+def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
+    """Centroid tile size for the fused query+group kernel.
+
+    Mosaic's scoped-vmem budget is 16 MB; the kernel holds ~10 live (TM, N)
+    f32/i32 planes (d2, cs, hit/oh temporaries — measured 25 MB at TM=512,
+    N=1024), the (N, N) int8 triangle, the (N, C) values, and the
+    (TM, ns, C) outputs. Budget 12 MB with a measured 40 B/element rate."""
+    tm = min(m, 512)
+    # x8 on the output term: Mosaic double-buffers output blocks
+    while tm > 64 and (tm * (n * 40 + sum(nsamples) * c * 8)
+                       + n * n + n * c * 4) > 12 * 2 ** 20:
+        tm //= 2
+    return tm
+
+
+def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
+                     radii: tuple, nsamples: tuple, sub_xyz: int):
+    """Grouped values directly, no index materialization, no gathers.
+
+    For each output slot s the one-hot of the s-th in-radius hit is
+    ``hit & (cs == s+1)`` (cs = inclusive cumsum of hit — the hit lane where
+    the count reaches s+1 is unique), so the grouped row is ONE (TM, N) @
+    (N, 3C) MXU contraction. Pad slots (s+1 > count) reuse the FIRST hit's
+    one-hot and zero-hit rows are post-filled with point 0 — bit-identical
+    to gathering with the CUDA index semantics (``ball_query_gpu.cu:38-46``).
+
+    Per-slot cost engineering (the VPU/VMEM traffic dominates):
+    - hit ranks are clipped into int8 and non-hits masked to 127 ONCE, so
+      each slot costs one int8 compare + one bf16 cast;
+    - the value matrix is split hi/mid/lo into three bf16 planes stacked as
+      (N, 3C): a bf16 MXU pass is EXACT for a one-hot LHS (products are
+      1.0 x part, f32 accumulation; the parts sum back to the exact f32),
+      so one DEFAULT-precision dot replaces a 6-pass HIGHEST f32 dot and
+      reads the one-hot once.
+
+    ``sub_xyz`` > 0 subtracts the query centroid from the first 3 channels
+    (the relative-xyz of QueryAndGroup, ``pointnet2_utils.py:343-347``).
+    """
+    tm = new_xyz_ref.shape[1]
+    n = xyz_t_ref.shape[2]
+    c = vals_ref.shape[2]
+    a = new_xyz_ref[0]            # (TM, 3)
+    bt = xyz_t_ref[0]             # (3, N)
+    vals = vals_ref[0]            # (N, C) f32
+
+    an = jnp.sum(a * a, axis=1, keepdims=True)
+    bn = jnp.sum(bt * bt, axis=0, keepdims=True)
+    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    d2 = an + bn - 2.0 * ab       # (TM, N), shared by all radii
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    use_tri = n <= 1024
+    if use_tri:
+        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        tri = (r_ <= c_).astype(jnp.int8)
+
+    # exact 3-way bf16 split of the values (24 mantissa bits total)
+    v_hi = vals.astype(jnp.bfloat16)
+    r1 = vals - v_hi.astype(jnp.float32)
+    v_mid = r1.astype(jnp.bfloat16)
+    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)         # (N, 3C)
+    vals0 = vals[0:1, :]                                      # (1, C)
+
+    if sub_xyz:
+        chan = lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+        cen = jnp.concatenate(
+            [a, jnp.zeros((tm, c - 3), jnp.float32)], axis=1) if c > 3 else a
+        cen = jnp.where(chan < 3, cen, 0.0)
+
+    for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
+        hit = d2 < jnp.float32(radius) ** 2
+        if use_tri:
+            cs = lax.dot_general(hit.astype(jnp.int8), tri,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        else:
+            cs = hit.astype(jnp.int32)
+            shift = 1
+            while shift < n:
+                rolled = pltpu.roll(cs, shift, axis=1)
+                cs = cs + jnp.where(lane >= shift, rolled, 0)
+                shift *= 2
+        cnt = cs[:, n - 1:n]                                  # (TM, 1)
+        # bf16 rank domain (ints <= 256 are exact); non-hit lanes masked to
+        # 256 (> any slot target <= 48). Equality as relu(1 - d^2): pure
+        # bf16 arithmetic — Mosaic rejects packed int8/i1 compare vectors.
+        csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
+        no_hit = (cnt == 0)
+        for s in range(nsample):
+            tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)  # pad = 1st hit
+            d = csm - tgt
+            oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+            g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)  # (TM, 3C)
+            g = g3[:, :c] + g3[:, c:2 * c] + g3[:, 2 * c:]
+            g = jnp.where(no_hit, vals0, g)                   # no hit -> point 0
+            if sub_xyz:
+                g = g - cen
+            # slot-flattened lane layout: a (TM, ns, C) block would pad C up
+            # to the 128-lane tile (43x waste at C=3, VMEM-OOM at prod shapes)
+            out_ref[0, :, s * c:(s + 1) * c] = g
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
+                            new_xyz: Array, features: Array | None = None,
+                            use_xyz: bool = True,
+                            interpret: bool = False) -> list:
+    """Fused multi-radius ball query + grouping.
+
+    ``(B, N, 3), (B, M, 3)[, (B, N, C)] -> [(B, M, ns_i, Cout) per radius]``
+    with Cout = 3 + C (relative xyz ++ grouped features), matching
+    QueryAndGroup(use_xyz=True) — the gather-free replacement for
+    ``ball_query -> group_points`` (one pass on-chip; the (B, M, N) distance
+    matrix, the hit ranks, and the neighbor indices never reach HBM).
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    if features is None:
+        vals = xyz
+    elif use_xyz:
+        vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+    else:
+        vals = features.astype(jnp.float32)
+    c = vals.shape[-1]
+    sub_xyz = 1 if (features is None or use_xyz) else 0
+
+    tm = bqg_tile(m, n, c, nsamples)
+    if m % tm or n % 128:
+        raise ValueError(f"ball_query_group_pallas needs M%{tm}==0 and "
+                         f"N%128==0, got M={m} N={n}")
+    xyz_t = jnp.swapaxes(xyz, 1, 2)
+    grid = (b, m // tm)
+    out = pl.pallas_call(
+        functools.partial(_bq_group_kernel, radii=tuple(radii),
+                          nsamples=tuple(nsamples), sub_xyz=sub_xyz),
+        out_shape=[jax.ShapeDtypeStruct((b, m, ns * c), jnp.float32)
+                   for ns in nsamples],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tm, ns * c), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM) for ns in nsamples],
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t, vals)
+    return [o.reshape(b, m, ns, c) for o, ns in zip(out, nsamples)]

@@ -42,6 +42,24 @@ def three_nn(unknown, known):
     return _xla.three_nn(unknown, known)
 
 
+def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
+                     use_xyz: bool = True):
+    """Fused ball query + grouping (one Pallas kernel on TPU: distance
+    matmul, hit-rank cumsum, and per-slot one-hot MXU extraction — no index
+    tensor, no XLA gathers)."""
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    if _on_tpu() and n % 128 == 0:
+        if features is None:
+            c = 3
+        else:
+            c = features.shape[-1] + (3 if use_xyz else 0)
+        tm = _bq_pl.bqg_tile(m, n, c, nsamples)
+        if m % tm == 0:
+            return _bq_pl.ball_query_group_pallas(
+                tuple(radii), tuple(nsamples), xyz, new_xyz, features, use_xyz)
+    return _xla.ball_query_group(radii, nsamples, xyz, new_xyz, features, use_xyz)
+
+
 def ball_query_multi(radii, nsamples, xyz, new_xyz):
     """Multi-radius ball query over shared centroids (one fused kernel on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]

@@ -140,6 +140,29 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Array
     return jnp.where(filled, out, pad)
 
 
+def ball_query_group(radii, nsamples, xyz: Array, new_xyz: Array,
+                     features: Array | None = None, use_xyz: bool = True) -> list:
+    """Multi-radius ball query + grouping (QueryAndGroup semantics,
+    ``pointnet2_utils.py:335-357``): per radius, the grouped tensor
+    ``(B, M, ns, 3 + C)`` = [xyz - centroid, features] at the first-``ns``
+    in-radius indices (CUDA pad semantics). Pure-XLA composition of
+    ``ball_query`` + ``group_points``; the TPU path fuses everything into
+    one Pallas kernel (``ball_query_pallas.ball_query_group_pallas``)."""
+    outs = []
+    for r, ns in zip(radii, nsamples):
+        idx = ball_query(r, ns, xyz, new_xyz)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if features is not None:
+            grouped = group_points(features, idx)
+            if use_xyz:
+                grouped = jnp.concatenate(
+                    [grouped_xyz.astype(grouped.dtype), grouped], axis=-1)
+        else:
+            grouped = grouped_xyz
+        outs.append(grouped)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # Gathers (differentiable via JAX autodiff — deterministic scatter-add bwd)
 # ---------------------------------------------------------------------------

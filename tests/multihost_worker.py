@@ -1,0 +1,98 @@
+"""Worker process for the 2-process multi-host DP test (not a pytest module).
+
+Each process: 2 virtual CPU devices + gloo cross-process collectives ->
+``multihost.initialize`` -> one REAL ISTNet DP train step over the global
+4-device mesh, with each host feeding only its own half of the global batch
+via ``multihost.global_batch``. Prints machine-checkable lines the parent
+test asserts on (loss equality across hosts proves the gradient all-reduce
+spanned processes — each host's local data differs).
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+    from istnet_tpu.parallel import multihost
+
+    multihost.initialize(coordinator_address=f"localhost:{port}",
+                         num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    print(f"MH devices={jax.device_count()}", flush=True)
+    print(f"MH local={jax.local_device_count()}", flush=True)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+    from istnet_tpu.parallel import jit_train_step_dp, make_mesh, replicate
+    from istnet_tpu.train.train_state import (create_train_state, make_optimizer,
+                                              make_train_step)
+    from istnet_tpu.utils.config import Config
+
+    n, img = 128, 48
+    global_bs = 4
+    local_bs = multihost.per_host_batch_size(global_bs)
+    assert local_bs == global_bs // nproc
+
+    # host-local shard of the global batch — DIFFERENT per host
+    rng = np.random.RandomState(100 + pid)
+    inputs = {
+        "rgb": rng.rand(local_bs, img, img, 3).astype(np.float32),
+        "pts": (rng.randn(local_bs, n, 3) * 0.1).astype(np.float32),
+        "choose": rng.randint(0, img * img, size=(local_bs, n)).astype(np.int32),
+        "category_label": rng.randint(0, 6, size=(local_bs,)).astype(np.int32),
+        "qo": (rng.randn(local_bs, n, 3) * 0.1).astype(np.float32),
+    }
+    labels = {
+        "rotation_label": np.tile(np.eye(3, dtype=np.float32), (local_bs, 1, 1)),
+        "translation_label": np.zeros((local_bs, 3), np.float32),
+        "size_label": np.ones((local_bs, 3), np.float32),
+        "qo": inputs["qo"],
+    }
+
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.tree_util.tree_map(jnp.asarray, inputs), train=True)
+    cfg = Config({"optimizer": {"name": "Adam", "lr": 0.01, "weight_decay": 0},
+                  "max_epoch": 1,
+                  "bn": {"bn_momentum": 0.9, "bn_decay": 0.5, "decay_step": 4000,
+                         "bnm_clip": 0.01}})
+    tx, _ = make_optimizer(cfg, 10, variables["params"])
+    step_fn = make_train_step(
+        model, lambda e, l: supervised_loss(e, l, 1.0, 10.0, False), tx, cfg.bn)
+    state = create_train_state(variables["params"], variables["batch_stats"], tx)
+
+    mesh = make_mesh()  # ALL devices, across processes
+    batch = multihost.global_batch(mesh, {"inputs": inputs, "labels": labels})
+    dp_step = jit_train_step_dp(step_fn, mesh)
+    state = replicate(mesh, state)
+    state, metrics = dp_step(state, batch, jax.random.PRNGKey(7))
+
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    # fingerprint of the updated params: must be identical on every host
+    leaf = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+    print(f"MH loss={loss:.10f}", flush=True)
+    print(f"MH param_fp={float(np.abs(np.asarray(leaf)).sum()):.10e}", flush=True)
+    print("MH ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -200,6 +200,42 @@ def test_device_color_jitter_ops_match_pil():
         assert err.mean() <= 1.0, f"hue {f}"
 
 
+def test_color_jitter_affine_composition_matches_sequential():
+    """The composed prefix/hue/suffix pipeline equals naive sequential op
+    application (on non-saturating images, where per-op clipping is inert)."""
+    from istnet_tpu.data import device_transforms as dt
+
+    rng = np.random.RandomState(3)
+    # keep pixels in [40, 200] so no op saturates (factors <= 1.2)
+    img = jnp.asarray(40 + rng.rand(5, 16, 16, 3).astype(np.float32) * 160)
+    key = jax.random.PRNGKey(11)
+    got = np.asarray(dt.color_jitter_batch(img, key))
+
+    # reproduce the exact factor/order draws
+    b = img.shape[0]
+    k_f, k_o = jax.random.split(key)
+    kb, kc, ks, kh = jax.random.split(k_f, 4)
+    f_b = np.asarray(jax.random.uniform(kb, (b,), minval=0.8, maxval=1.2))
+    f_c = np.asarray(jax.random.uniform(kc, (b,), minval=0.8, maxval=1.2))
+    f_s = np.asarray(jax.random.uniform(ks, (b,), minval=0.8, maxval=1.2))
+    f_h = np.asarray(jax.random.uniform(kh, (b,), minval=-0.05, maxval=0.05))
+    order_id = np.asarray(jax.random.randint(k_o, (b,), 0, len(dt._ORDERS)))
+
+    for i in range(b):
+        x = img[i:i + 1]
+        for op in dt._ORDERS[order_id[i]]:
+            if op == 0:
+                x = dt.adjust_brightness(x, jnp.full((1, 1, 1, 1), f_b[i]))
+            elif op == 1:
+                x = dt.adjust_contrast(x, jnp.full((1, 1, 1, 1), f_c[i]))
+            elif op == 2:
+                x = dt.adjust_saturation(x, jnp.full((1, 1, 1, 1), f_s[i]))
+            else:
+                x = dt.adjust_hue(x, jnp.full((1, 1, 1), f_h[i]))
+        np.testing.assert_allclose(got[i], np.asarray(x[0]), atol=0.05,
+                                   err_msg=f"sample {i} order {dt._ORDERS[order_id[i]]}")
+
+
 def test_device_color_jitter_batch_variety():
     from istnet_tpu.data.device_transforms import color_jitter_batch
 

@@ -40,6 +40,39 @@ def test_ball_query_pallas_no_hits():
     np.testing.assert_array_equal(np.asarray(got), 0)
 
 
+def test_ball_query_group_pallas_matches_xla():
+    """Fused query+group == ball_query -> group_points composition, incl.
+    pad-with-first-hit rows and features concat."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    cent = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 128, 5).astype(np.float32))
+    radii, nsamples = (0.15, 0.4), (4, 8)
+
+    for features, use_xyz in ((None, True), (feats, True), (feats, False)):
+        got = ball_query_group_pallas(radii, nsamples, xyz, cent,
+                                      features, use_xyz, interpret=True)
+        want = xla_ops.ball_query_group(radii, nsamples, xyz, cent,
+                                        features, use_xyz)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_ball_query_group_pallas_no_hits_selects_point0():
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    xyz = jnp.ones((1, 128, 3), jnp.float32) * 50
+    cent = jnp.zeros((1, 128, 3), jnp.float32)
+    got = ball_query_group_pallas((0.1,), (4,), xyz, cent, interpret=True)[0]
+    want = xla_ops.ball_query_group((0.1,), (4,), xyz, cent)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # CUDA zero-buffer semantics: grouped = point 0 relative to the centroid
+    np.testing.assert_allclose(np.asarray(got), 50.0)
+
+
 def test_three_nn_pallas_matches_xla():
     from istnet_tpu.ops.three_nn_pallas import three_nn_pallas
     rng = np.random.RandomState(2)
