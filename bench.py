@@ -14,10 +14,13 @@ throughput, with the batch-32 number included for transparency:
 Baseline note: the reference (CVMI-Lab/IST-Net) publishes NO throughput
 numbers (BASELINE.md) and its CUDA stack cannot run in this TPU-only
 environment, so a measured head-to-head is impossible here. ``REF_ESTIMATE``
-is a documented engineering estimate of the torch reference at its OWN best
-batch on an RTX-3090-class GPU: ~65 GFLOP/instance forward at 35-45% fp32
-utilization minus the per-op launch overhead of its ~100-kernel forward
-(8 SA groupers + 4 FP stages per PointNet2MSG alone) ≈ 150 inferences/sec.
+is the FLOP-audited estimate of the reference AS SHIPPED (its per-image
+eval loop, B~5 instances/forward, ~36.4 GFLOP/instance, TF32 on an
+RTX-3090-class GPU at 10-20% sustained, plus ~150 kernel launches/forward):
+250 inferences/sec central, 150-400 range — full per-layer derivation in
+BASELINE.md "Throughput baseline derivation". A hypothetical re-batched
+CUDA deployment (the reference cannot do this without restructuring) would
+reach 490-780 inf/s; both ratios are reported there.
 vs_baseline = value / REF_ESTIMATE; the BASELINE.json target is >= 5.
 
 Timing methodology: the axon tunnel's ``block_until_ready`` does not actually
@@ -29,11 +32,13 @@ dispatch overlaps execution.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-REF_ESTIMATE = 150.0  # est. reference CUDA throughput at its best batch (docstring)
+REF_ESTIMATE = 250.0  # FLOP-audited as-shipped reference estimate (BASELINE.md)
 WARMUP = 1
 ITERS = 3
 CHAIN = 10
@@ -93,14 +98,31 @@ def main() -> None:
     b128 = _throughput(jfn, args128, 128)
 
     value = max(b32, b128)
-    print(json.dumps({
+    record = {
         "metric": "object pose inferences/sec/chip",
         "value": round(value, 1),
         "unit": "inferences/sec",
         "vs_baseline": round(value / REF_ESTIMATE, 3),
         "batch": 128 if b128 >= b32 else 32,
         "b32_value": round(b32, 1),
-    }))
+    }
+
+    # secondary metric: FULL train-step throughput at the reference's
+    # production batch (18 syn + 6 real), incl. the device-resident input
+    # pipeline (depth fill, crop/sample, ColorJitter, bb/rt aug), grads,
+    # Adam, BN-EMA. Reference hot loop: utils/solver.py:85-122.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "tools"))
+        from train_bench import measure_train_steps
+        tr = measure_train_steps(batch=24)
+        record["train_steps_per_sec"] = tr["train_steps_per_sec"]
+        record["train_samples_per_sec"] = tr["samples_per_sec"]
+        record["train_batch"] = tr["batch"]
+    except Exception as e:  # never lose the primary metric
+        record["train_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

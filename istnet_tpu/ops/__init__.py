@@ -6,11 +6,10 @@
 """
 
 from istnet_tpu.ops.dispatch import (ball_query, ball_query_group,
-    ball_query_multi, furthest_point_sample, three_nn)
+    ball_query_multi, furthest_point_sample, three_interpolate, three_nn)
 from istnet_tpu.ops.pointnet2 import (
     gather_points,
     group_points,
-    three_interpolate,
     three_interpolate_weights,
 )
 

@@ -276,3 +276,57 @@ def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), xyz_t, vals)
     return [o.reshape(b, m, ns, c) for o, ns in zip(out, nsamples)]
+
+
+# --- differentiable wrapper --------------------------------------------------
+# The reference's group_points/QueryAndGroup is differentiable in the grouped
+# values (scatter-add backward via atomicAdd, group_points_gpu.cu:45-80); the
+# Pallas forward needs a custom VJP. Backward: recompute the neighbor indices
+# with the (cheap, non-diff) index kernel, then scatter-add the cotangents by
+# a transposed one-hot MXU contraction — deterministic, pad slots route their
+# grads to the first hit and zero-hit rows to point 0, exactly like autodiff
+# through the gather path.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def ball_query_group(radii: tuple, nsamples: tuple, use_xyz: bool,
+                     interpret: bool,
+                     xyz: Array, new_xyz: Array, features: Array | None):
+    return tuple(ball_query_group_pallas(radii, nsamples, xyz, new_xyz,
+                                         features, use_xyz,
+                                         interpret=interpret))
+
+
+def _bqg_fwd(radii, nsamples, use_xyz, interpret, xyz, new_xyz, features):
+    outs = ball_query_group(radii, nsamples, use_xyz, interpret,
+                            xyz, new_xyz, features)
+    return outs, (xyz, new_xyz, features)
+
+
+def _bqg_bwd(radii, nsamples, use_xyz, interpret, res, g_bars):
+    xyz, new_xyz, features = res
+    n = xyz.shape[1]
+    sub_xyz = features is None or use_xyz
+    idx_list = ball_query_multi_pallas(tuple(radii), tuple(nsamples), xyz,
+                                       new_xyz, interpret=interpret)
+    xyz_bar = jnp.zeros_like(xyz)
+    new_bar = jnp.zeros_like(new_xyz)
+    feat_bar = None if features is None else jnp.zeros_like(features)
+    for idx, g in zip(idx_list, g_bars):
+        b, m, ns = idx.shape
+        gf = g.reshape(b, m * ns, -1).astype(jnp.float32)
+        oh = jax.nn.one_hot(idx.reshape(b, m * ns), n, dtype=jnp.float32)
+        scat = jnp.einsum("bkn,bkc->bnc", oh, gf,
+                          precision=lax.Precision.HIGHEST)
+        if features is None:
+            xyz_bar = xyz_bar + scat
+        elif use_xyz:
+            xyz_bar = xyz_bar + scat[..., :3]
+            feat_bar = feat_bar + scat[..., 3:].astype(features.dtype)
+        else:
+            feat_bar = feat_bar + scat.astype(features.dtype)
+        if sub_xyz:  # rel-xyz: d(x_n - c_m)/dc_m = -1 summed over slots
+            new_bar = new_bar - jnp.sum(g[..., :3], axis=2).astype(new_xyz.dtype)
+    return xyz_bar.astype(xyz.dtype), new_bar, feat_bar
+
+
+ball_query_group.defvjp(_bqg_fwd, _bqg_bwd)

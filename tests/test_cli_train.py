@@ -8,13 +8,9 @@ jitted step) -> checkpoints. Mirrors the reference entry
 """
 
 import os
-import pickle
 import sys
 
-import numpy as np
 import pytest
-
-from tests.test_e2e_synthetic import _write_scene
 
 CONFIG = """\
 model_arch: ist_net
@@ -55,36 +51,10 @@ compute_dtype: float32
 
 @pytest.fixture(scope="module")
 def cli_root(tmp_path_factory):
+    from istnet_tpu.data.synthetic import build_train_trees
+
     root = tmp_path_factory.mktemp("cli_nocs")
-    data_dir = root / "data"
-    stems = ["0000", "0001"]
-
-    # Real train tree
-    real_dir = data_dir / "Real" / "train" / "scene_1"
-    for i, stem in enumerate(stems):
-        _write_scene(str(real_dir), stem, seed=i)
-    with open(data_dir / "Real" / "train_list.txt", "w") as f:
-        f.writelines(f"train/scene_1/{s}\n" for s in stems)
-
-    # CAMERA train tree + composed depths (load_composed_depth rewrites
-    # /data/CAMERA/ -> /data/camera_full_depths/ and appends _composed.png)
-    cam_dir = data_dir / "CAMERA" / "train" / "00000"
-    comp_dir = data_dir / "camera_full_depths" / "train" / "00000"
-    os.makedirs(comp_dir, exist_ok=True)
-    for i, stem in enumerate(stems):
-        _write_scene(str(cam_dir), stem, seed=10 + i)
-        import shutil
-        shutil.copy(str(cam_dir / f"{stem}_depth.png"),
-                    str(comp_dir / f"{stem}_composed.png"))
-    with open(data_dir / "CAMERA" / "train_list.txt", "w") as f:
-        f.writelines(f"train/00000/{s}\n" for s in stems)
-
-    models = {f"model_{i}": np.random.RandomState(i).rand(64, 3).astype(np.float32) - 0.5
-              for i in range(2)}
-    os.makedirs(data_dir / "obj_models", exist_ok=True)
-    for name in ("real_train.pkl", "camera_train.pkl"):
-        with open(data_dir / "obj_models" / name, "wb") as f:
-            pickle.dump(models, f)
+    build_train_trees(str(root / "data"))
     return root
 
 

@@ -12,56 +12,17 @@ This is the pipeline the real NOCS data flows through; only pixels differ.
 import os
 import pickle
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from istnet_tpu.data import DataLoader, TestDataset, TrainingDataset
+from istnet_tpu.data.synthetic import write_scene as _write_scene
 from istnet_tpu.utils.config import Config
 
 IMG_SIZE = 48
 N_PTS = 128
-
-
-def _write_scene(img_dir, stem, n_inst=2, seed=0, coord=False):
-    rng = np.random.RandomState(seed)
-    os.makedirs(img_dir, exist_ok=True)
-    base = os.path.join(img_dir, stem)
-
-    color = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-    cv2.imwrite(base + "_color.png", color)
-
-    depth = np.zeros((480, 640), np.uint16)
-    mask = np.full((480, 640, 3), 255, np.uint8)
-    bboxes = []
-    for inst in range(n_inst):
-        y0, x0 = 120 + 120 * inst, 160 + 150 * inst
-        depth[y0:y0 + 100, x0:x0 + 100] = 800 + 200 * inst
-        mask[y0 + 10:y0 + 90, x0 + 10:x0 + 90, 2] = inst + 1
-        bboxes.append([y0 + 10, x0 + 10, y0 + 90, x0 + 90])
-    depth[0:100] = 0
-    cv2.imwrite(base + "_depth.png", depth)
-    cv2.imwrite(base + "_mask.png", mask)
-    if coord:
-        cmap = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-        cv2.imwrite(base + "_coord.png", cmap)
-
-    gts = {
-        "class_ids": [1 + inst for inst in range(n_inst)],
-        "instance_ids": [1 + inst for inst in range(n_inst)],
-        "model_list": [f"model_{i}" for i in range(n_inst)],
-        "bboxes": np.asarray(bboxes, np.int32),
-        "scales": np.asarray([1.0] * n_inst, np.float32),
-        "sizes": np.tile(np.asarray([0.1, 0.2, 0.1], np.float32), (n_inst, 1)),
-        "rotations": np.tile(np.eye(3, dtype=np.float32), (n_inst, 1, 1)),
-        "translations": np.asarray([[0.0, 0.0, 0.8 + 0.2 * i] for i in range(n_inst)],
-                                   np.float32),
-    }
-    with open(base + "_label.pkl", "wb") as f:
-        pickle.dump(gts, f)
-    return gts
 
 
 @pytest.fixture(scope="module")
@@ -208,28 +169,7 @@ def test_test_dataset_and_full_eval(synthetic_root, tmp_path):
     assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
 
 
-def _write_seg_result(seg_dir, gts, stem):
-    n = len(gts["class_ids"])
-    pred_masks = np.zeros((480, 640, n), np.uint8)
-    for j, (y0, x0, y1, x1) in enumerate(gts["bboxes"]):
-        pred_masks[y0:y1, x0:x1, j] = 1
-    rts = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-    rts[:, :3, 3] = gts["translations"]
-    result = {
-        "image_path": f"data/real/test/scene_1/{stem}",
-        "pred_masks": pred_masks,
-        "pred_class_ids": np.asarray(gts["class_ids"]),
-        "pred_bboxes": gts["bboxes"],
-        "pred_scores": np.ones(n, np.float32),
-        "gt_class_ids": np.asarray(gts["class_ids"]),
-        "gt_bboxes": gts["bboxes"],
-        "gt_RTs": rts,
-        "gt_scales": np.tile(np.asarray([0.1, 0.2, 0.1], np.float32), (n, 1)),
-        "gt_handle_visibility": np.ones(n, np.int64),
-    }
-    os.makedirs(seg_dir, exist_ok=True)
-    with open(os.path.join(seg_dir, f"results_test_scene_1_{stem}.pkl"), "wb") as f:
-        pickle.dump(result, f)
+from istnet_tpu.data.synthetic import write_seg_result as _write_seg_result
 
 
 def test_missing_depth_self_heals_to_empty_result(tmp_path):

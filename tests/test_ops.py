@@ -105,3 +105,22 @@ def test_three_interpolate_grad():
     e = np.zeros_like(np.asarray(feats)); e[0, 2, 1] = eps
     fd = (f(feats + e, w) - f(feats - e, w)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(gp)[0, 2, 1], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_three_interpolate_mm_matches_gather():
+    """The TPU interp-matrix path == the gather path (fp association only;
+    also differentiable, same grads to finite-difference tolerance)."""
+    from istnet_tpu.ops import pointnet2 as xla_ops
+
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 16, 5).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 16, size=(2, 9, 3)).astype(np.int32))
+    w = jax.nn.softmax(jnp.asarray(rng.randn(2, 9, 3).astype(np.float32)), axis=-1)
+
+    a = xla_ops.three_interpolate(feats, idx, w)
+    b = xla_ops.three_interpolate_mm(feats, idx, w)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(xla_ops.three_interpolate(p, idx, w) ** 2))(feats)
+    gb = jax.grad(lambda p: jnp.sum(xla_ops.three_interpolate_mm(p, idx, w) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)

@@ -85,25 +85,18 @@ def make_host_batch(b: int, n: int = 1024, img: int = 192, seed: int = 0) -> dic
     return {"inputs": inputs, "labels": labels}
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=24)
-    p.add_argument("--host-pipeline", action="store_true",
-                   help="bench the step WITHOUT device preprocessing "
-                        "(host-preprocessed inputs) for the breakdown")
-    p.add_argument("--f32", action="store_true")
-    args = p.parse_args()
+def measure_train_steps(batch: int = 24, host_pipeline: bool = False,
+                        f32: bool = False) -> dict:
+    """Measure full-train-step steps/sec on the current default backend.
 
+    Assumes jax is importable and the compilation cache is configured by the
+    caller (bench.py / main below)."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
     import jax.numpy as jnp
     from jax import lax
 
     from istnet_tpu.nn import precision
-    if not args.f32:
+    if not f32:
         precision.set_compute_dtype(jnp.bfloat16)
 
     from istnet_tpu.data.device_augment import device_augment
@@ -113,7 +106,7 @@ def main() -> None:
                                               make_train_step)
     from istnet_tpu.utils.config import Config
 
-    b = args.batch
+    b = batch
     model = ISTNet(nclass=6, freeze_world_enhancer=False)
     dummy = {
         "rgb": jnp.zeros((1, 192, 192, 3), jnp.float32),
@@ -131,13 +124,13 @@ def main() -> None:
                   "bn": {"bn_momentum": 0.9, "bn_decay": 0.5, "decay_step": 4000,
                          "bnm_clip": 0.01}})
     tx, _ = make_optimizer(cfg, 4000, variables["params"])
-    pre_fn = None if args.host_pipeline else make_train_preprocess()
+    pre_fn = None if host_pipeline else make_train_preprocess()
     step_fn = make_train_step(
         model, lambda e, l: supervised_loss(e, l, 1.0, 10.0, False), tx, cfg.bn,
         augment_fn=lambda bt, r: device_augment(bt, r), preprocess_fn=pre_fn)
     state = create_train_state(variables["params"], variables["batch_stats"], tx)
 
-    if args.host_pipeline:
+    if host_pipeline:
         batch = jax.tree_util.tree_map(jnp.asarray, make_host_batch(b))
     else:
         batch = jax.tree_util.tree_map(jnp.asarray, make_synth_raw_batch(b))
@@ -171,16 +164,33 @@ def main() -> None:
         _ = float(np.asarray(jax.device_get(out.step)))
     dt = (time.perf_counter() - t0) / (ITERS * CHAIN)
 
-    print(json.dumps({
+    return {
         "train_steps_per_sec": round(1.0 / dt, 3),
         "step_ms": round(dt * 1000, 2),
         "samples_per_sec": round(b / dt, 1),
         "batch": b,
-        "pipeline": "host" if args.host_pipeline else "device",
-        "dtype": "float32" if args.f32 else "bfloat16",
+        "pipeline": "host" if host_pipeline else "device",
+        "dtype": "float32" if f32 else "bfloat16",
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
-    }))
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--host-pipeline", action="store_true",
+                   help="bench the step WITHOUT device preprocessing "
+                        "(host-preprocessed inputs) for the breakdown")
+    p.add_argument("--f32", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    print(json.dumps(measure_train_steps(args.batch, args.host_pipeline, args.f32)))
 
 
 if __name__ == "__main__":
