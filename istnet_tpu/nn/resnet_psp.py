@@ -212,12 +212,14 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
 
     For output pixel (r, c): the 3x3 conv reads the resized map at rows
     r-1..r+1 (zeros outside the image); each resized pixel lerps a 2x2 input
-    neighborhood. All taps for one point live in a 4x4 input patch starting at
-    base = clamp(floor((r-1)*s), 0, H_in-4) with s = (H_in-1)/(H_out-1)
-    (coverage: (r+1)*s - (r-1)*s = 2s < 1, so floors span <= 1 row, +1 for the
-    lerp upper tap => <= 3 rows). Per-point interpolation row/col matrices
-    (3, 4) fold the lerp into two tiny contractions; the conv becomes one
-    (9*C) matmul per point through the SAME conv module (padding 0).
+    neighborhood. All taps for one point live in a 3x3 input patch starting at
+    base = clamp(floor((r-1)*s), 0, H_in-3) with s = (H_in-1)/(H_out-1):
+    coverage (r+1)*s - (r-1)*s = 2s < 1 means the three taps' floors span
+    <= 1 row, +1 for the lerp upper tap => rows in [a, a+2]; under the top
+    clamp (a = H_in-2 -> base H_in-3) every lo >= a > base and hi <= H_in-1 =
+    base+2 still land inside. Per-point interpolation row/col matrices (3, 3)
+    fold the lerp into two tiny contractions; the conv becomes one (9*C)
+    matmul per point through the SAME conv module (padding 0).
     """
     b, hin, win, c = h.shape
     hout, wout = 2 * hin, 2 * win
@@ -229,9 +231,9 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
     col = (choose % wout).astype(jnp.int32)
 
     def axis_setup(center, scale, in_size):
-        # window base + (3, 4) lerp matrix rows for taps center-1..center+1
+        # window base + (3, 3) lerp matrix rows for taps center-1..center+1
         base = jnp.clip(jnp.floor((center - 1) * scale).astype(jnp.int32),
-                        0, in_size - 4)  # (B, N)
+                        0, in_size - 3)  # (B, N)
         offs = jnp.asarray([-1, 0, 1], jnp.int32)
         tap = center[..., None] + offs  # (B, N, 3) output coords
         valid = (tap >= 0) & (tap < 2 * in_size)  # conv zero-padding
@@ -239,30 +241,38 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
         lo = jnp.floor(pos).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, in_size - 1)
         w_hi = pos - lo.astype(jnp.float32)
-        # scatter the two lerp taps into the 4-wide window (one-hot sums)
-        win_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 4), 3)
+        # scatter the two lerp taps into the 3-wide window (one-hot sums)
+        win_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 3), 3)
         mat = ((win_idx == (lo - base[..., None])[..., None])
                * (1.0 - w_hi)[..., None]
                + (win_idx == (hi - base[..., None])[..., None])
-               * w_hi[..., None])  # (B, N, 3, 4)
+               * w_hi[..., None])  # (B, N, 3, 3)
         return base, mat * valid[..., None].astype(mat.dtype)
 
     base_y, mat_y = axis_setup(r, s_y, hin)
     base_x, mat_x = axis_setup(col, s_x, win)
 
-    # gather (4, 4, C) patches per point
+    # gather (3, 3, C) patches per point
     def gather_patches(img, by, bx):
         starts = jnp.stack([by, bx], axis=-1)  # (N, 2)
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(),
             start_index_map=(0, 1))
-        return jax.lax.gather(img, starts, dn, slice_sizes=(4, 4, c),
+        return jax.lax.gather(img, starts, dn, slice_sizes=(3, 3, c),
                               mode=jax.lax.GatherScatterMode.CLIP)
 
-    patches = jax.vmap(gather_patches)(h, base_y, base_x)  # (B, N, 4, 4, C)
+    patches = jax.vmap(gather_patches)(h, base_y, base_x)  # (B, N, 3, 3, C)
     mat_y = mat_y.astype(patches.dtype)
     mat_x = mat_x.astype(patches.dtype)
-    resized = jnp.einsum("bniy,bnyxc,bnjx->bnijc", mat_y, patches, mat_x)
+    # per-point lerp as 9 broadcast-FMAs, NOT an einsum: dot_general with
+    # K=3/4 per point lowers to MXU-starved batched tiny matmuls (profiled
+    # 4.0 ms at 0.2 TF/s for B=128); the unrolled multiply-add chain fuses
+    # into one elementwise pass over the output (~1 pass of HBM traffic)
+    w = (mat_y[:, :, :, None, :, None] * mat_x[:, :, None, :, None, :]
+         )  # (B, N, 3(i), 3(j), 3(y), 3(x))
+    resized = sum(
+        w[..., y, x, None] * patches[:, :, None, None, y, x, :]
+        for y in range(3) for x in range(3))  # (B, N, 3, 3, C)
     # conv at the center pixel: (B*N, 3, 3, C) -> (B*N, 1, 1, C_out)
     v = conv3x3(resized.reshape(b * n, 3, 3, c)).reshape(b, n, -1)
     v = post_conv(v)

@@ -52,10 +52,13 @@ def three_nn(unknown, known):
 
 
 def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
-                     use_xyz: bool = True):
+                     use_xyz: bool = True, out_dtype=None):
     """Fused ball query + grouping (one Pallas kernel on TPU: distance
     matmul, hit-rank cumsum, and per-slot one-hot MXU extraction — no index
-    tensor, no XLA gathers)."""
+    tensor, no XLA gathers). ``out_dtype`` (default f32) rounds only the
+    final store — pass the compute dtype to skip the consumer's cast."""
+    import jax.numpy as jnp
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
     n, m = xyz.shape[1], new_xyz.shape[1]
     if _on_tpu() and n % 128 == 0:
         if features is None:
@@ -66,8 +69,9 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
         if m % tm == 0:
             return list(_bq_pl.ball_query_group(
                 tuple(radii), tuple(nsamples), bool(use_xyz), False,
-                xyz, new_xyz, features))
-    return _xla.ball_query_group(radii, nsamples, xyz, new_xyz, features, use_xyz)
+                xyz, new_xyz, features, out_dtype))
+    return [g.astype(out_dtype) for g in _xla.ball_query_group(
+        radii, nsamples, xyz, new_xyz, features, use_xyz)]
 
 
 def ball_query_multi(radii, nsamples, xyz, new_xyz):

@@ -112,3 +112,25 @@ def test_three_nn_pallas_matches_xla():
         wd, wi = xla_ops.three_nn(unknown, known)
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
         np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-4, atol=1e-6)
+
+
+def test_ball_query_group_pallas_bf16_out_is_rounded_f32():
+    """out_dtype=bf16 must equal the f32 kernel output rounded post-hoc
+    (the math stays f32; only the final store rounds)."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    rng = np.random.RandomState(7)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    cent = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 128, 5).astype(np.float32))
+    radii, nsamples = (0.15, 0.4), (4, 8)
+
+    f32 = ball_query_group_pallas(radii, nsamples, xyz, cent, feats, True,
+                                  interpret=True)
+    bf16 = ball_query_group_pallas(radii, nsamples, xyz, cent, feats, True,
+                                   interpret=True, out_dtype=jnp.bfloat16)
+    for a, b in zip(f32, bf16):
+        assert b.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(a.astype(jnp.bfloat16), dtype=np.float32),
+            np.asarray(b, dtype=np.float32))
