@@ -140,29 +140,35 @@ def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
 
 
 def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
-                     radii: tuple, nsamples: tuple, sub_xyz: int):
-    out_dtype = out_refs[0].dtype
+                     radii: tuple, nsamples: tuple, sub_xyz: int,
+                     exact_c: int):
     """Grouped values directly, no index materialization, no gathers.
 
     For each output slot s the one-hot of the s-th in-radius hit is
     ``hit & (cs == s+1)`` (cs = inclusive cumsum of hit — the hit lane where
     the count reaches s+1 is unique), so the grouped row is ONE (TM, N) @
-    (N, 3C) MXU contraction. Pad slots (s+1 > count) reuse the FIRST hit's
-    one-hot and zero-hit rows are post-filled with point 0 — bit-identical
-    to gathering with the CUDA index semantics (``ball_query_gpu.cu:38-46``).
+    (N, C + 2*exact_c) MXU contraction. Pad slots (s+1 > count) reuse the
+    FIRST hit's one-hot and zero-hit rows are post-filled with point 0 —
+    bit-identical to gathering with the CUDA index semantics
+    (``ball_query_gpu.cu:38-46``).
 
     Per-slot cost engineering (the VPU/VMEM traffic dominates):
     - hit ranks are clipped into int8 and non-hits masked to 127 ONCE, so
       each slot costs one int8 compare + one bf16 cast;
-    - the value matrix is split hi/mid/lo into three bf16 planes stacked as
-      (N, 3C): a bf16 MXU pass is EXACT for a one-hot LHS (products are
-      1.0 x part, f32 accumulation; the parts sum back to the exact f32),
-      so one DEFAULT-precision dot replaces a 6-pass HIGHEST f32 dot and
-      reads the one-hot once.
+    - the value matrix is split hi/mid/lo into bf16 planes: a bf16 MXU pass
+      is EXACT for a one-hot LHS (products are 1.0 x part, f32 accumulation;
+      the parts sum back to the exact f32), so one DEFAULT-precision dot
+      replaces a 6-pass HIGHEST f32 dot and reads the one-hot once;
+    - only the first ``exact_c`` channels carry mid/lo planes. Channels that
+      are exactly bf16-representable (grouped features in a bf16 model: the
+      f32 upcast round-trips) have zero mid/lo parts, so the wrapper passes
+      exact_c=3 (just the f32 xyz) and the dot width shrinks from 3C to C+6
+      — ~2.7x fewer (padded) MXU columns at stage-2..4 shapes.
 
     ``sub_xyz`` > 0 subtracts the query centroid from the first 3 channels
     (the relative-xyz of QueryAndGroup, ``pointnet2_utils.py:343-347``).
     """
+    out_dtype = out_refs[0].dtype
     tm = new_xyz_ref.shape[1]
     n = xyz_t_ref.shape[2]
     c = vals_ref.shape[2]
@@ -183,12 +189,17 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
         c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
         tri = (r_ <= c_).astype(jnp.int8)
 
-    # exact 3-way bf16 split of the values (24 mantissa bits total)
+    # exact 3-way bf16 split (24 mantissa bits) of the first exact_c channels;
+    # the rest are exactly bf16 already (hi part alone reconstructs them)
     v_hi = vals.astype(jnp.bfloat16)
-    r1 = vals - v_hi.astype(jnp.float32)
-    v_mid = r1.astype(jnp.bfloat16)
-    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)         # (N, 3C)
+    if exact_c:
+        head = vals[:, :exact_c]
+        r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
+        v_mid = r1.astype(jnp.bfloat16)
+        v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)  # (N, C + 2*exact_c)
+    else:
+        v3 = v_hi
     vals0 = vals[0:1, :]                                      # (1, C)
 
     if sub_xyz:
@@ -223,8 +234,15 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
             # vectors) — the arithmetic form is the supported formulation
             d = csm - tgt
             oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
-            g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)  # (TM, 3C)
-            g = g3[:, :c] + g3[:, c:2 * c] + g3[:, 2 * c:]
+            g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
+            g = g3[:, :c]
+            if exact_c:
+                fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
+                if exact_c == c:
+                    g = g + fix
+                else:
+                    g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
+                                        axis=1)
             g = jnp.where(no_hit, vals0, g)                   # no hit -> point 0
             if sub_xyz:
                 g = g - cen
@@ -255,12 +273,19 @@ def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)
+    # channels needing the full 3-way split: bf16 features round-trip the f32
+    # upcast exactly (zero mid/lo parts), so only genuine-f32 channels get
+    # mid/lo planes — shrinks the per-slot MXU dot width from 3C to C+6
+    feats_exact = features is not None and features.dtype == jnp.bfloat16
     if features is None:
         vals = xyz
+        exact_c = 3
     elif use_xyz:
         vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+        exact_c = 3 if feats_exact else vals.shape[-1]
     else:
         vals = features.astype(jnp.float32)
+        exact_c = 0 if feats_exact else vals.shape[-1]
     c = vals.shape[-1]
     sub_xyz = 1 if (features is None or use_xyz) else 0
 
@@ -272,7 +297,8 @@ def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     grid = (b, m // tm)
     out = pl.pallas_call(
         functools.partial(_bq_group_kernel, radii=tuple(radii),
-                          nsamples=tuple(nsamples), sub_xyz=sub_xyz),
+                          nsamples=tuple(nsamples), sub_xyz=sub_xyz,
+                          exact_c=exact_c),
         out_shape=[jax.ShapeDtypeStruct((b, m, ns * c), out_dtype)
                    for ns in nsamples],
         grid=grid,

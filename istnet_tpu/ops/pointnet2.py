@@ -245,8 +245,14 @@ def three_interpolate_mm(points: Array, idx: Array, weight: Array) -> Array:
     ``points`` and ``weight`` like the reference op.
     """
     m = points.shape[1]
-    pm = jnp.sum(jax.nn.one_hot(idx, m, dtype=jnp.float32)
-                 * weight[..., None].astype(jnp.float32), axis=2)  # (B, N, M)
+    # explicit 3-term sum (same accumulation order as the one_hot().sum
+    # formulation) fuses into ONE pass over (B, N, M); the one_hot variant
+    # streamed a (B, N, 3, M) intermediate (~3x the HBM traffic, profiled
+    # 0.5 ms extra at B=128, N=1024, M=512)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    w = weight.astype(jnp.float32)
+    pm = sum((idx[..., k:k + 1] == lane).astype(jnp.float32) * w[..., k:k + 1]
+             for k in range(3))  # (B, N, M)
     return jnp.einsum("bnm,bmc->bnc", pm, points.astype(jnp.float32),
                       precision=lax.Precision.HIGHEST).astype(points.dtype)
 

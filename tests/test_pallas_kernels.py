@@ -134,3 +134,23 @@ def test_ball_query_group_pallas_bf16_out_is_rounded_f32():
         np.testing.assert_array_equal(
             np.asarray(a.astype(jnp.bfloat16), dtype=np.float32),
             np.asarray(b, dtype=np.float32))
+
+
+def test_ball_query_group_pallas_bf16_features_compact_split():
+    """bf16 features take the compact split layout (exact_c=3); results must
+    still exactly match the XLA composition on the f32-upcast features."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    rng = np.random.RandomState(11)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    cent = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 128, 5), jnp.bfloat16)
+    radii, nsamples = (0.15, 0.4), (4, 8)
+
+    for use_xyz in (True, False):
+        got = ball_query_group_pallas(radii, nsamples, xyz, cent, feats,
+                                      use_xyz, interpret=True)
+        want = xla_ops.ball_query_group(radii, nsamples, xyz, cent,
+                                        feats.astype(jnp.float32), use_xyz)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
