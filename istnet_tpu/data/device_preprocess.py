@@ -43,11 +43,20 @@ def _footprint_offsets(kind: str, radius: int) -> list[tuple[int, int]]:
 def _dilate(x: Array, kind: str, radius: int) -> Array:
     """Max over a footprint; out-of-bounds contributes -inf (cv2 dilate)."""
     if kind == "full":
-        return lax.reduce_window(
-            x, -jnp.inf, lax.max,
-            (1, 2 * radius + 1, 2 * radius + 1), (1, 1, 1),
-            [(0, 0), (radius, radius), (radius, radius)])
-    # cross: separable union of a horizontal and a vertical segment
+        if radius < 3:
+            # one fused 2-D window: at small radii the op is HBM-bound, so a
+            # separable pair (2 full read+write passes) measures SLOWER
+            return lax.reduce_window(
+                x, -jnp.inf, lax.max,
+                (1, 2 * radius + 1, 2 * radius + 1), (1, 1, 1),
+                [(0, 0), (radius, radius), (radius, radius)])
+        # large radii: rectangle max separates exactly (rows then cols),
+        # (2r+1)^2 -> 2(2r+1) comparisons per pixel
+        h = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2 * radius + 1),
+                              (1, 1, 1), [(0, 0), (0, 0), (radius, radius)])
+        return lax.reduce_window(h, -jnp.inf, lax.max, (1, 2 * radius + 1, 1),
+                                 (1, 1, 1), [(0, 0), (radius, radius), (0, 0)])
+    # cross: union of a horizontal and a vertical segment
     h = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2 * radius + 1),
                           (1, 1, 1), [(0, 0), (0, 0), (radius, radius)])
     v = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2 * radius + 1, 1),
@@ -56,9 +65,7 @@ def _dilate(x: Array, kind: str, radius: int) -> Array:
 
 
 def _erode(x: Array, radius: int) -> Array:
-    return -lax.reduce_window(
-        -x, -jnp.inf, lax.max, (1, 2 * radius + 1, 2 * radius + 1),
-        (1, 1, 1), [(0, 0), (radius, radius), (radius, radius)])
+    return -_dilate(-x, "full", radius)
 
 
 def _patches(x: Array, offsets, pad_mode: str) -> Array:
@@ -262,12 +269,16 @@ def _resize_half_pixel(crop: Array, crop_w: Array, out_size: int) -> Array:
 _CS_BLOCK = 128
 
 
-def _blocked_cumsum(ok: Array) -> Array:
-    """Inclusive cumsum of a 0/1 int vector via triangular int matmuls.
+def _blocked_cdf(ok: Array) -> tuple[Array, Array]:
+    """Block-structured inclusive cumsum of a 0/1 vector.
 
-    XLA's cumsum lowering is pathologically slow at these sizes under vmap
-    (~38 ms for 24 x 194k); two-level block-scan with (128, 128) triangular
-    contractions runs in ~1 ms.
+    Returns ``intra (nb, 128) int32`` — within-block inclusive cumsums — and
+    ``block_end (nb,) float32`` — the global cumsum at each block's last
+    element (values <= 194k: exact in f32). The full CDF at flat index
+    p = 128*b + c is ``block_end[b-1] + intra[b, c]``; it is never
+    materialized. XLA's cumsum lowering is pathologically slow at these
+    sizes under vmap (~38 ms for 24 x 194k); (128, 128) triangular int
+    contractions run in ~1 ms.
     """
     n = ok.shape[0]
     nb = -(-n // _CS_BLOCK)
@@ -278,9 +289,48 @@ def _blocked_cumsum(ok: Array) -> Array:
     tri = (r_ <= c_).astype(jnp.int8)
     intra = lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)  # (nb, B)
-    block_tot = intra[:, -1].astype(jnp.float32)  # counts <= 194k: exact in f32
-    offsets = jnp.cumsum(block_tot) - block_tot  # tiny (nb,) cumsum
-    return (intra + offsets[:, None].astype(jnp.int32)).reshape(-1)[:n]
+    block_tot = intra[:, -1].astype(jnp.float32)
+    block_end = jnp.cumsum(block_tot)  # tiny (nb,) cumsum
+    return intra, block_end
+
+
+def _searchsorted_blocked(intra: Array, block_end: Array, targets: Array,
+                          n: int | None = None) -> Array:
+    """``searchsorted(cdf, targets, side='left')`` on the blocked CDF.
+    ``n`` (default nb*128) caps the result like searchsorted's out-of-range
+    return (an all-zero CDF yields n, not nb*128+128).
+
+    jnp.searchsorted under vmap lowers to a while-loop binary search with
+    per-step dynamic gathers (~10 ms for 24 x 1024 targets over 194k cells);
+    this closed form is two compare-reduces and one one-hot MXU contraction:
+
+      block  b_j = #{b : block_end[b] < t_j}            (compare + row-sum)
+      local  c_j = #{c : intra[b_j, c] < t_j - start[b_j]}
+                   with the intra row + block start fetched by ONE one-hot
+                   bf16 dot (exact: intra <= 128, start split bf16x3)
+
+    All quantities are integers < 2^24 held in f32 — every compare is exact.
+    """
+    nb = intra.shape[0]
+    t = targets.astype(jnp.float32)  # (S,)
+    bi = jnp.sum((block_end[None, :] < t[:, None]).astype(jnp.float32),
+                 axis=1)  # (S,) float block index, nb when t > total
+    start = block_end - intra[:, -1].astype(jnp.float32)  # exclusive starts
+    s_hi = start.astype(jnp.bfloat16)
+    r1 = start - s_hi.astype(jnp.float32)
+    s_mid = r1.astype(jnp.bfloat16)
+    s_lo = (r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    rhs = jnp.concatenate(
+        [intra.astype(jnp.bfloat16),  # <= 128: bf16-exact
+         s_hi[:, None], s_mid[:, None], s_lo[:, None]], axis=1)  # (nb, 131)
+    onehot = (lax.broadcasted_iota(jnp.float32, (1, nb), 1)
+              == bi[:, None]).astype(jnp.bfloat16)  # (S, nb)
+    got = jnp.dot(onehot, rhs, preferred_element_type=jnp.float32)  # (S, 131)
+    introw = got[:, :_CS_BLOCK]
+    tloc = t - (got[:, _CS_BLOCK] + got[:, _CS_BLOCK + 1] + got[:, _CS_BLOCK + 2])
+    ci = jnp.sum((introw < tloc[:, None]).astype(jnp.float32), axis=1)
+    out = (bi * _CS_BLOCK + ci).astype(jnp.int32)
+    return jnp.minimum(out, nb * _CS_BLOCK if n is None else n)
 
 
 def preprocess_instances_tpu(rgb: Array, depth_mm: Array, masks: Array,
@@ -353,16 +403,18 @@ def _instance_body(rgb_i, pts_i, valid_i, bound, cw, k, *, img_size, sample_num,
     # stratum of the valid-cell CDF -> (near-)duplicate-free when
     # count >= sample_num, full coverage with repeats when count <
     # sample_num (the reference's with/without-replacement split,
-    # dataset.py:388-391). O(cells) cumsum + binary search — a Gumbel
-    # top-k over the 440^2 cells is ~40x slower on TPU.
-    cdf = _blocked_cumsum(ok)
-    count = cdf[-1]
+    # dataset.py:388-391). O(cells) blocked cumsum + closed-form blocked
+    # search — a Gumbel top-k over the 440^2 cells is ~40x slower on TPU,
+    # and jnp.searchsorted's while-loop lowering costs ~10 ms at B=24.
+    intra, block_end = _blocked_cdf(ok)
+    count = block_end[-1].astype(jnp.int32)
     v = jax.random.uniform(k, (sample_num,))
     slot = lax.broadcasted_iota(jnp.float32, (sample_num, 1), 0).squeeze(-1)
     u = (slot + v) / sample_num * count.astype(jnp.float32)
     targets = jnp.floor(u).astype(jnp.int32) + 1
-    flat_idx = jnp.searchsorted(cdf, jnp.minimum(targets, jnp.maximum(count, 1)),
-                                side="left").astype(jnp.int32)
+    flat_idx = _searchsorted_blocked(
+        intra, block_end, jnp.minimum(targets, jnp.maximum(count, 1)),
+        n=ok.shape[0])
 
     pts = crop_pts.reshape(-1, 3)[flat_idx]
     # choose remap for the resized crop (dataset.py:400-404)

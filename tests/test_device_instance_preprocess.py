@@ -116,3 +116,24 @@ def test_train_preprocess_qo_matches_host_formula():
     # jitter applied: points no longer exactly on the backprojection lattice
     z_mm = pts[:, 2] * 1000
     assert not np.allclose(z_mm, np.round(z_mm), atol=1e-4)
+
+
+def test_searchsorted_blocked_matches_jnp():
+    """Closed-form blocked search == jnp.searchsorted(side='left') on 0/1
+    CDFs, incl. empty, sparse, and saturated masks."""
+    import jax.numpy as jnp
+    from istnet_tpu.data.device_preprocess import (_blocked_cdf,
+                                                   _searchsorted_blocked)
+
+    rng = np.random.RandomState(5)
+    for n, p in [(1000, 0.3), (193_600, 0.02), (193_600, 0.9), (300, 0.0)]:
+        ok = jnp.asarray(rng.rand(n) < p)
+        cdf = jnp.cumsum(ok.astype(jnp.int32))
+        count = int(cdf[-1])
+        targets = jnp.asarray(
+            np.unique(np.clip(rng.randint(1, max(count, 1) + 1, 256),
+                              1, max(count, 1))).astype(np.int32))
+        intra, block_end = _blocked_cdf(ok)
+        got = _searchsorted_blocked(intra, block_end, targets, n=n)
+        want = jnp.searchsorted(cdf, targets, side="left").astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
