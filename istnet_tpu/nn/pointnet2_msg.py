@@ -89,9 +89,10 @@ class PointnetFPModule(nn.Module):
     @nn.compact
     def __call__(self, unknown: Array, known: Array, unknown_feats: Array | None,
                  known_feats: Array, train: bool) -> Array:
-        dist, idx = ops.three_nn(unknown, known)
-        weight = ops.three_interpolate_weights(dist)
-        interp = ops.three_interpolate(known_feats, idx, weight)  # (B, n, C2)
+        # one fused kernel on TPU: 3-NN search, inverse-distance weights and
+        # the weighted gather never leave VMEM (three_nn + weights +
+        # three_interpolate composition elsewhere)
+        interp = ops.fp_interpolate(unknown, known, known_feats)  # (B, n, C2)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return SharedMLP(self.mlp)(interp, train)

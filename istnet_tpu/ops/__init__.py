@@ -6,7 +6,8 @@
 """
 
 from istnet_tpu.ops.dispatch import (ball_query, ball_query_group,
-    ball_query_multi, furthest_point_sample, three_interpolate, three_nn)
+    ball_query_multi, fp_interpolate, furthest_point_sample,
+    three_interpolate, three_nn)
 from istnet_tpu.ops.pointnet2 import (
     gather_points,
     group_points,
@@ -20,6 +21,7 @@ __all__ = [
     "furthest_point_sample",
     "gather_points",
     "group_points",
+    "fp_interpolate",
     "three_interpolate",
     "three_interpolate_weights",
     "three_nn",

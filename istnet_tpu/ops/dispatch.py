@@ -51,6 +51,21 @@ def three_nn(unknown, known):
     return _xla.three_nn(unknown, known)
 
 
+def fp_interpolate(unknown, known, feats):
+    """Whole FP gather stage (3-NN + inverse-distance weights + weighted
+    interpolation) as ONE fused Pallas kernel on TPU; the three-op XLA
+    composition elsewhere. Gradients flow into ``feats`` only (matching the
+    reference's non-diff ThreeNN, ``pointnet2_utils.py:144-146``); the XLA
+    fallback keeps its natural autodiff (coordinate paths are never
+    parameter-dependent in this model, so the difference is unobservable)."""
+    n = unknown.shape[1]
+    if _on_tpu() and (n < 128 or n % 128 == 0):
+        return _tnn_pl.fp_interpolate(unknown, known, feats)
+    dist, idx = _xla.three_nn(unknown, known)
+    weight = _xla.three_interpolate_weights(dist)
+    return three_interpolate(feats, idx, weight)
+
+
 def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
                      use_xyz: bool = True, out_dtype=None):
     """Fused ball query + grouping (one Pallas kernel on TPU: distance

@@ -154,3 +154,53 @@ def test_ball_query_group_pallas_bf16_features_compact_split():
                                         feats.astype(jnp.float32), use_xyz)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fp_interpolate_pallas_matches_xla_composition():
+    """Fused 3-NN+weights+interpolate == the three-op XLA composition
+    (association-level fp tolerance), f32 and bf16 features, padded M."""
+    from istnet_tpu.ops.three_nn_pallas import fp_interpolate_pallas
+
+    rng = np.random.RandomState(6)
+    unknown = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.3)
+    for m, dtype in [(128, jnp.float32), (100, jnp.float32), (64, jnp.bfloat16)]:
+        known = jnp.asarray(rng.randn(2, m, 3).astype(np.float32) * 0.3)
+        feats = jnp.asarray(rng.randn(2, m, 6), dtype)
+        got = fp_interpolate_pallas(unknown, known, feats, interpret=True)
+        dist, idx = xla_ops.three_nn(unknown, known)
+        weight = xla_ops.three_interpolate_weights(dist)
+        want = xla_ops.three_interpolate(feats.astype(jnp.float32), idx, weight)
+        assert got.dtype == dtype
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                                   np.asarray(want),
+                                   rtol=2e-2 if dtype == jnp.bfloat16 else 1e-5,
+                                   atol=1e-5)
+
+
+def test_fp_interpolate_vjp_feats_only():
+    """Custom VJP routes gradients into feats exactly like autodiff through
+    the interpolation matrix, and into NOTHING else (reference ThreeNN
+    backward is None, pointnet2_utils.py:144-146)."""
+    import jax
+
+    from istnet_tpu.ops.three_nn_pallas import fp_interpolate
+
+    rng = np.random.RandomState(8)
+    unknown = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.3)
+    known = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32) * 0.3)
+    feats = jnp.asarray(rng.randn(2, 64, 6).astype(np.float32))
+
+    def loss_fused(u, k, f):
+        return jnp.sum(jnp.sin(fp_interpolate(u, k, f, True)))
+
+    def loss_xla(f):
+        dist, idx = xla_ops.three_nn(unknown, known)
+        w = xla_ops.three_interpolate_weights(dist)
+        return jnp.sum(jnp.sin(xla_ops.three_interpolate(f, idx, w)))
+
+    gu, gk, gf = jax.grad(loss_fused, argnums=(0, 1, 2))(unknown, known, feats)
+    gf_want = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(gu), 0.0)
+    np.testing.assert_array_equal(np.asarray(gk), 0.0)

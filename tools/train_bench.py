@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHAIN = 4
+CHAIN = 10  # short chains leave ~30 ms of tunnel-sync latency / CHAIN in the number
 ITERS = 3
 WARMUP = 1
 
