@@ -1,5 +1,12 @@
 """Per-op microbenchmarks on the real TPU: where does the eval forward go?
 
+PREFER tools/profile_fwd.py: it attributes REAL in-graph device time per op
+(trace.json.gz device plane). Standalone chained-loop numbers here can be
+several times larger than the same op's in-graph cost (e.g. FPS measured
+6.4 ms standalone vs ~1 ms inside the forward, where XLA overlaps the
+serial kernel with unrelated work) — use this tool only for A/B'ing one op
+formulation against another under identical conditions.
+
 Times each hot op of the PointNet++ pipeline (FPS, fused multi-radius ball
 query, grouping gathers, three-NN, and the full ISTNet eval forward) at the
 shapes the flagship model actually runs (B=128 peak-throughput batch).

@@ -86,7 +86,8 @@ def make_host_batch(b: int, n: int = 1024, img: int = 192, seed: int = 0) -> dic
 
 
 def measure_train_steps(batch: int = 24, host_pipeline: bool = False,
-                        f32: bool = False) -> dict:
+                        f32: bool = False, points: int = 1024,
+                        freeze: bool = False) -> dict:
     """Measure full-train-step steps/sec on the current default backend.
 
     Assumes jax is importable and the compilation cache is configured by the
@@ -107,13 +108,13 @@ def measure_train_steps(batch: int = 24, host_pipeline: bool = False,
     from istnet_tpu.utils.config import Config
 
     b = batch
-    model = ISTNet(nclass=6, freeze_world_enhancer=False)
+    model = ISTNet(nclass=6, freeze_world_enhancer=freeze)
     dummy = {
         "rgb": jnp.zeros((1, 192, 192, 3), jnp.float32),
-        "pts": jnp.zeros((1, 1024, 3), jnp.float32),
-        "choose": jnp.zeros((1, 1024), jnp.int32),
+        "pts": jnp.zeros((1, points, 3), jnp.float32),
+        "choose": jnp.zeros((1, points), jnp.int32),
         "category_label": jnp.zeros((1,), jnp.int32),
-        "qo": jnp.zeros((1, 1024, 3), jnp.float32),
+        "qo": jnp.zeros((1, points, 3), jnp.float32),
     }
     variables = jax.jit(model.init, static_argnames="train")(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -124,14 +125,16 @@ def measure_train_steps(batch: int = 24, host_pipeline: bool = False,
                   "bn": {"bn_momentum": 0.9, "bn_decay": 0.5, "decay_step": 4000,
                          "bnm_clip": 0.01}})
     tx, _ = make_optimizer(cfg, 4000, variables["params"])
-    pre_fn = None if host_pipeline else make_train_preprocess()
+    pre_fn = None if host_pipeline else make_train_preprocess(sample_num=points)
     step_fn = make_train_step(
-        model, lambda e, l: supervised_loss(e, l, 1.0, 10.0, False), tx, cfg.bn,
+        model,
+        lambda e, l: supervised_loss(e, l, 1.0, 100.0 if freeze else 10.0, freeze),
+        tx, cfg.bn,
         augment_fn=lambda bt, r: device_augment(bt, r), preprocess_fn=pre_fn)
     state = create_train_state(variables["params"], variables["batch_stats"], tx)
 
     if host_pipeline:
-        batch = jax.tree_util.tree_map(jnp.asarray, make_host_batch(b))
+        batch = jax.tree_util.tree_map(jnp.asarray, make_host_batch(b, n=points))
     else:
         batch = jax.tree_util.tree_map(jnp.asarray, make_synth_raw_batch(b))
 
@@ -170,6 +173,8 @@ def measure_train_steps(batch: int = 24, host_pipeline: bool = False,
         "samples_per_sec": round(b / dt, 1),
         "batch": b,
         "pipeline": "host" if host_pipeline else "device",
+        "points": points,
+        "freeze_world_enhancer": freeze,
         "dtype": "float32" if f32 else "bfloat16",
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
@@ -183,6 +188,9 @@ def main() -> None:
                    help="bench the step WITHOUT device preprocessing "
                         "(host-preprocessed inputs) for the breakdown")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--points", type=int, default=1024)
+    p.add_argument("--freeze", action="store_true",
+                   help="freeze_world_enhancer two-phase mode (BASELINE config #5)")
     args = p.parse_args()
 
     import jax
@@ -190,7 +198,8 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    print(json.dumps(measure_train_steps(args.batch, args.host_pipeline, args.f32)))
+    print(json.dumps(measure_train_steps(args.batch, args.host_pipeline,
+                                         args.f32, args.points, args.freeze)))
 
 
 if __name__ == "__main__":
