@@ -41,7 +41,6 @@ from istnet_tpu.nn.layers import (
     TorchConv,
     adaptive_avg_pool,
     resize_bilinear,
-    resize_bilinear_align_corners,
 )
 
 Array = jax.Array
@@ -138,9 +137,9 @@ class PSPUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        h, w = x.shape[1], x.shape[2]
-        x = resize_bilinear_align_corners(x, 2 * h, 2 * w)
-        x = TorchConv(self.features, (3, 3), padding=1)(x)
+        # resize folded into the conv (conv3x3_on_doubled): exact, 4x fewer
+        # conv FLOPs than materializing the doubled map
+        x = TorchConv(self.features, (3, 3), padding=1)(x, fold_resize2=True)
         x = BatchNorm()(x, train)
         return PReLU()(x)
 
@@ -184,8 +183,7 @@ class ModifiedResnet(nn.Module):
 
     def __call__(self, x: Array, train: bool) -> Array:
         h = self._features96(x, train)
-        h = resize_bilinear_align_corners(h, 2 * h.shape[1], 2 * h.shape[2])
-        h = self.up3_prelu(self.up3_bn(self.up3_conv(h), train))
+        h = self.up3_prelu(self.up3_bn(self.up3_conv(h, fold_resize2=True), train))
         return self.final_prelu(self.final_bn(self.final_conv(h), train))
 
     def sparse_points(self, x: Array, choose: Array, train: bool) -> Array:

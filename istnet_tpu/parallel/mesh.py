@@ -49,8 +49,29 @@ def shard_batch(mesh: Mesh, batch: PyTree) -> PyTree:
 
 
 def replicate(mesh: Mesh, tree: PyTree) -> PyTree:
+    """Replicate a host-local tree onto the mesh.
+
+    Multi-process: assembled from per-local-device copies
+    (``make_array_from_single_device_arrays``) instead of a plain
+    ``device_put``, which would trigger jax's cross-process ``assert_equal``
+    value check — an all-gather of the whole tree that (a) is wasteful and
+    (b) creates gloo/ICI communicators at an arbitrary point where process
+    compile skew can exceed the transport's handshake timeout (observed: CPU
+    gloo's 30 s KV timeout). Callers must pass the same values on every
+    process (true by construction: same-seed init or a shared checkpoint).
+    """
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    local = mesh.local_devices
+
+    def put(x):
+        x = np.asarray(x)
+        shards = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sh, shards)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def jit_train_step_dp(train_step, mesh: Mesh):

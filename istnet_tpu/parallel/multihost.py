@@ -51,6 +51,26 @@ def initialize(**kwargs) -> None:
         # single-process run with no coordinator configured — fine
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous all processes via the coordination service (pure gRPC — no
+    device collectives, so it is safe to call while processes are skewed by
+    compilation).
+
+    Use it between ``jit(...).lower(...).compile()`` and the first execution
+    of a cross-process program: the first collective CREATES the gloo/ICI
+    communicators, whose handshake timeout (30 s for CPU gloo's KV exchange)
+    is far shorter than possible compile skew between processes. AOT-compile,
+    barrier, then execute — all processes then open the communicators
+    together. No-op in single-process runs.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # single-process
+        return
+    client.wait_at_barrier(name, timeout_ms)
+
+
 def per_host_batch_size(global_batch: int) -> int:
     """The slice of the global batch THIS host must load."""
     n = jax.process_count()

@@ -84,7 +84,14 @@ def main() -> None:
     batch = multihost.global_batch(mesh, {"inputs": inputs, "labels": labels})
     dp_step = jit_train_step_dp(step_fn, mesh)
     state = replicate(mesh, state)
-    state, metrics = dp_step(state, batch, jax.random.PRNGKey(7))
+    key = jax.random.PRNGKey(7)
+    # AOT-compile, THEN rendezvous, THEN execute: the first execution opens
+    # the gloo communicators (30 s KV handshake) and per-process compile times
+    # on this one-core host can skew by minutes — see multihost.barrier
+    compiled = dp_step.lower(state, batch, key).compile()
+    print("MH compiled", flush=True)
+    multihost.barrier("istnet_mh_compiled")
+    state, metrics = compiled(state, batch, key)
 
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     # fingerprint of the updated params: must be identical on every host

@@ -1,0 +1,88 @@
+"""Folded resize+conv (conv3x3_on_doubled) equals resize -> conv exactly.
+
+PSPUpsample computes ``3x3 conv(pad=1)`` on an align-corners x2-upsampled map
+(reference ``model/modules.py:37-48``); the folded form reassociates by
+linearity (one low-res matmul + shifted separable interp matrices). These
+tests pin the fold against the direct composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from istnet_tpu.nn.layers import (
+    TorchConv,
+    conv3x3_on_doubled,
+    resize_bilinear_align_corners,
+)
+
+
+def _direct(x, k, b):
+    up = resize_bilinear_align_corners(x, 2 * x.shape[1], 2 * x.shape[2])
+    out = jax.lax.conv_general_dilated(
+        up, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out + b
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [(6, 6, 5, 4), (24, 24, 16, 8),
+                                          (5, 9, 3, 7), (1, 4, 2, 3)])
+def test_fold_matches_direct_f32(h, w, cin, cout):
+    key = jax.random.PRNGKey(h * 100 + w)
+    kx, kk, kb = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (2, h, w, cin), jnp.float32)
+    k = jax.random.normal(kk, (3, 3, cin, cout), jnp.float32) * 0.1
+    b = jax.random.normal(kb, (cout,), jnp.float32)
+    want = _direct(x, k, b)
+    got = conv3x3_on_doubled(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_torchconv_fold_flag_matches_module_composition():
+    """TorchConv(fold_resize2=True) on the small map == resize -> same conv."""
+    conv = TorchConv(4, (3, 3), padding=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 8, 6), jnp.float32)
+    params = conv.init(jax.random.PRNGKey(1), x)
+    up = resize_bilinear_align_corners(x, 16, 16)
+    want = conv.apply(params, up)
+    got = conv.apply(params, x, fold_resize2=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_torchconv_param_tree_unchanged():
+    """Param paths/shapes must stay nn.Conv-compatible for checkpoints and
+    the torch weight converter (Conv_0/kernel, Conv_0/bias)."""
+    conv = TorchConv(4, (3, 3), padding=1)
+    params = conv.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, 8, 8, 6), jnp.float32))
+    leaves = params["params"]["Conv_0"]
+    assert set(leaves) == {"kernel", "bias"}
+    assert leaves["kernel"].shape == (3, 3, 6, 4)
+    assert leaves["bias"].shape == (4,)
+
+
+def test_torchconv_matches_nn_conv_lowering():
+    """The lax.conv reimplementation matches flax nn.Conv for the same params
+    (stride/dilation/padding overrides included)."""
+    import flax.linen as nn
+
+    conv = TorchConv(5, (3, 3), strides=(2, 2), padding=2, dilation=2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 12, 3), jnp.float32)
+    params = conv.init(jax.random.PRNGKey(3), x)
+    got = conv.apply(params, x)
+    ref = nn.Conv(5, (3, 3), strides=(2, 2), padding=[(2, 2), (2, 2)],
+                  kernel_dilation=(2, 2)).apply(
+        {"params": params["params"]["Conv_0"]}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # call-time padding override (sparse point-decode path)
+    got0 = conv.apply(params, x, padding=0)
+    ref0 = nn.Conv(5, (3, 3), strides=(2, 2), padding=[(0, 0), (0, 0)],
+                   kernel_dilation=(2, 2)).apply(
+        {"params": params["params"]["Conv_0"]}, x)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                               rtol=1e-6, atol=1e-6)

@@ -61,6 +61,27 @@ def test_ball_query_group_pallas_matches_xla():
                                        rtol=1e-6, atol=1e-6)
 
 
+def test_ball_query_group_pallas_radix_multigroup():
+    """Radix slot extraction with L2 > 1 (N=256 -> n = n1*2 + n2): exercises
+    the group-select projection, pad-with-first-hit, and no-hit rows. The
+    N=128 tests above hit the degenerate L2=1 decomposition only."""
+    from istnet_tpu.ops.ball_query_pallas import (ball_query_group_pallas,
+                                                  radix_l2)
+
+    assert radix_l2(256, 3, 3) == 2
+    rng = np.random.RandomState(7)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    xyz[1, :, :] += 100.0          # image 1: no hits anywhere -> point-0 rows
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    got = ball_query_group_pallas((0.15, 0.02), (4, 8), jnp.asarray(xyz),
+                                  jnp.asarray(cent), interpret=True)
+    want = xla_ops.ball_query_group((0.15, 0.02), (4, 8), jnp.asarray(xyz),
+                                    jnp.asarray(cent))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_ball_query_group_pallas_no_hits_selects_point0():
     from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
 
