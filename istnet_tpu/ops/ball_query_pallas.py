@@ -124,36 +124,24 @@ def ball_query_pallas(radius: float, nsample: int, xyz: Array, new_xyz: Array,
 # Fused ball query + grouping
 # ---------------------------------------------------------------------------
 
-def radix_l2(n: int, c: int, exact_c: int) -> int:
-    """Lanes-per-group for the radix-gather slot extraction, 0 = direct path.
-
-    The direct per-slot one-hot dot is (TM, N) @ (N, c3) with c3 = C+2*exact_c
-    padded to 128 lanes — at stage-1 shapes (C=3, c3=9) 93% of the MXU columns
-    are padding. The radix form decomposes the hit index as n = n1*L2 + n2
-    (n1 < 128): one (TM, 128) @ (128, L2*c3) dot gathers the L2 candidate
-    rows sharing n1, then an n2-masked (TM, L2*c3) @ (L2*c3, c3) projection
-    picks the right one — K=128 exactly, no padding. Worth it only while
-    L2*c3 stays narrow (wide-feature stages already fill the 128 lanes)."""
-    c3 = c + 2 * exact_c
-    l2 = n // 128
-    return l2 if n % 128 == 0 and l2 * c3 <= 144 else 0
-
-
-def bqg_tile(m: int, n: int, c: int, nsamples, exact_c: int | None = None) -> int:
+def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
     """Centroid tile size for the fused query+group kernel.
 
     Mosaic's scoped-vmem budget is 16 MB; the kernel holds ~10 live (TM, N)
     f32/i32 planes (d2, cs, hit/oh temporaries — measured 25 MB at TM=512,
     N=1024), the (N, N) int8 triangle, the (N, C) values, and the
     (TM, ns, C) outputs. Budget 12 MB with a measured 40 B/element rate.
-    The radix path (``exact_c`` given and ``radix_l2`` > 0) keeps far fewer
-    live (TM, N) planes (no bf16 rank matrix, per-slot temps are (TM, 128)),
-    so it tiles larger."""
+
+    Rejected A/B (hardware-measured, stage-1 shape B=128 N=1024 M=512 C=3):
+    a radix-gather slot extraction — decompose the hit index n = n1*L2+n2 and
+    replace the K=N one-hot dot (whose 9 output lanes pad to 128) with a
+    K=128 dot + n2-masked projection — measured 9.3-12.1 ms vs 8.5 ms for
+    this direct form (standalone; TM 128/256/512 sweep). Computing the 48
+    per-slot hit indices needs a cross-lane ``sum(cs <= s)`` rank-searchsorted
+    per slot, and those reduction trees over (TM, N) cost more VPU time than
+    the MXU padding they save. TM=512 is also ~11% slower than 256 for the
+    direct form (tools/bqg_radix_ab history, commit-msg numbers)."""
     tm = min(m, 512)
-    if exact_c is not None and radix_l2(n, c, exact_c):
-        while tm > 64 and tm * n * 16 + n * n > 12 * 2 ** 20:
-            tm //= 2
-        return tm
     # x8 on the output term: Mosaic double-buffers output blocks
     while tm > 64 and (tm * (n * 40 + sum(nsamples) * c * 8)
                        + n * n + n * c * 4) > 12 * 2 ** 20:
@@ -163,7 +151,7 @@ def bqg_tile(m: int, n: int, c: int, nsamples, exact_c: int | None = None) -> in
 
 def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
                      radii: tuple, nsamples: tuple, sub_xyz: int,
-                     exact_c: int, radix: int = 0):
+                     exact_c: int):
     """Grouped values directly, no index materialization, no gathers.
 
     For each output slot s the one-hot of the s-th in-radius hit is
@@ -189,20 +177,14 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
 
     ``sub_xyz`` > 0 subtracts the query centroid from the first 3 channels
     (the relative-xyz of QueryAndGroup, ``pointnet2_utils.py:343-347``).
-
-    ``radix`` > 0 selects the radix-gather slot extraction (see ``radix_l2``):
-    ``vals_ref`` is then the PRE-split (128, L2*c3) bf16 matrix (built by the
-    wrapper), the s-th hit INDEX is computed by the rank searchsorted
-    ``sum(cs <= s)`` and decomposed n = n1*L2 + n2; one K=128 one-hot dot per
-    slot replaces the K=N dot. Pad/no-hit semantics ride the index arithmetic
-    (pad = first-hit index, 0 when the row has no hit — index semantics of
-    ``ball_query_gpu.cu:38-46``), so outputs stay bit-identical.
     """
     out_dtype = out_refs[0].dtype
     tm = new_xyz_ref.shape[1]
     n = xyz_t_ref.shape[2]
+    c = vals_ref.shape[2]
     a = new_xyz_ref[0]            # (TM, 3)
     bt = xyz_t_ref[0]             # (3, N)
+    vals = vals_ref[0]            # (N, C) f32
 
     an = jnp.sum(a * a, axis=1, keepdims=True)
     bn = jnp.sum(bt * bt, axis=0, keepdims=True)
@@ -217,32 +199,18 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
         c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
         tri = (r_ <= c_).astype(jnp.int8)
 
-    if radix:
-        l2 = radix
-        c3 = vals_ref.shape[2] // l2
-        c = c3 - 2 * exact_c
-        v_rad = vals_ref[0]       # (128, L2*c3) bf16, pre-split by the wrapper
-        iota128 = lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
-        gid = lax.broadcasted_iota(jnp.int32, (tm, l2 * c3), 1) // c3
-        # projection summing the n2-selected group back to c3 lanes
-        pr = lax.broadcasted_iota(jnp.int32, (l2 * c3, c3), 0) % c3
-        pc = lax.broadcasted_iota(jnp.int32, (l2 * c3, c3), 1)
-        proj = (pr == pc).astype(jnp.bfloat16)
+    # exact 3-way bf16 split (24 mantissa bits) of the first exact_c channels;
+    # the rest are exactly bf16 already (hi part alone reconstructs them)
+    v_hi = vals.astype(jnp.bfloat16)
+    if exact_c:
+        head = vals[:, :exact_c]
+        r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
+        v_mid = r1.astype(jnp.bfloat16)
+        v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)  # (N, C + 2*exact_c)
     else:
-        c = vals_ref.shape[2]
-        vals = vals_ref[0]        # (N, C) f32
-        # exact 3-way bf16 split (24 mantissa bits) of the first exact_c
-        # channels; the rest are exactly bf16 already (hi part reconstructs)
-        v_hi = vals.astype(jnp.bfloat16)
-        if exact_c:
-            head = vals[:, :exact_c]
-            r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
-            v_mid = r1.astype(jnp.bfloat16)
-            v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)  # (N, C+2*exact_c)
-        else:
-            v3 = v_hi
-        vals0 = vals[0:1, :]                                  # (1, C)
+        v3 = v_hi
+    vals0 = vals[0:1, :]                                      # (1, C)
 
     if sub_xyz:
         chan = lax.broadcasted_iota(jnp.int32, (tm, c), 1)
@@ -263,44 +231,6 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
                 rolled = pltpu.roll(cs, shift, axis=1)
                 cs = cs + jnp.where(lane >= shift, rolled, 0)
                 shift *= 2
-
-        if radix:
-            # searchsorted form: the s-th hit sits at sum(cs <= s); == n when
-            # fewer than s+1 hits -> pad with the first hit (0 if no hit)
-            pos0 = jnp.sum((cs <= 0).astype(jnp.int32), axis=1, keepdims=True)
-            pad = jnp.where(pos0 < n, pos0, 0)                # (TM, 1)
-            for s in range(nsample):
-                if s == 0:
-                    idx = pad
-                else:
-                    pos = jnp.sum((cs <= s).astype(jnp.int32), axis=1,
-                                  keepdims=True)
-                    idx = jnp.where(pos < n, pos, pad)
-                n1 = idx // l2
-                n2 = idx - n1 * l2
-                # one-hot of n1 as relu(1 - d^2) (ints exact in bf16; Mosaic
-                # rejects packed-bf16 compare vectors, same as direct path)
-                d = (iota128 - n1).astype(jnp.bfloat16)
-                oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
-                g8 = jnp.dot(oh, v_rad, preferred_element_type=jnp.float32)
-                # n2-select then sum groups; values are bf16 parts, so the
-                # bf16 round-trip and the 0/1 projection dot are exact
-                gsel = jnp.where(gid == n2, g8, 0.0).astype(jnp.bfloat16)
-                g3 = jnp.dot(gsel, proj, preferred_element_type=jnp.float32)
-                g = g3[:, :c]
-                if exact_c:
-                    fix = (g3[:, c:c + exact_c]
-                           + g3[:, c + exact_c:c + 2 * exact_c])
-                    if exact_c == c:
-                        g = g + fix
-                    else:
-                        g = jnp.concatenate(
-                            [g[:, :exact_c] + fix, g[:, exact_c:]], axis=1)
-                if sub_xyz:
-                    g = g - cen
-                out_ref[0, :, s * c:(s + 1) * c] = g.astype(out_dtype)
-            continue
-
         cnt = cs[:, n - 1:n]                                  # (TM, 1)
         # bf16 rank domain (ints <= 256 are exact); non-hit lanes masked to
         # 256 (> any slot target <= 48). Equality as relu(1 - d^2): pure
@@ -369,52 +299,28 @@ def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     c = vals.shape[-1]
     sub_xyz = 1 if (features is None or use_xyz) else 0
 
-    tm = bqg_tile(m, n, c, nsamples, exact_c)
+    tm = bqg_tile(m, n, c, nsamples)
     if m % tm or n % 128:
         raise ValueError(f"ball_query_group_pallas needs M%{tm}==0 and "
                          f"N%128==0, got M={m} N={n}")
-
-    radix = radix_l2(n, c, exact_c)
-    if radix:
-        # pre-split + radix-reshape in XLA (once per call, tiny at these C):
-        # bf16 parts [hi | mid(exact_c) | lo(exact_c)], rows regrouped so row
-        # n1 holds the L2 candidates n = n1*L2 + n2
-        v_hi = vals.astype(jnp.bfloat16)
-        if exact_c:
-            head = vals[..., :exact_c]
-            r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
-            v_mid = r1.astype(jnp.bfloat16)
-            v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=-1)
-        else:
-            v3 = v_hi
-        c3 = c + 2 * exact_c
-        vals_in = v3.reshape(b, 128, radix * c3)
-        vals_spec = pl.BlockSpec((1, 128, radix * c3), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        vals_in = vals
-        vals_spec = pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-
     xyz_t = jnp.swapaxes(xyz, 1, 2)
     grid = (b, m // tm)
     out = pl.pallas_call(
         functools.partial(_bq_group_kernel, radii=tuple(radii),
                           nsamples=tuple(nsamples), sub_xyz=sub_xyz,
-                          exact_c=exact_c, radix=radix),
+                          exact_c=exact_c),
         out_shape=[jax.ShapeDtypeStruct((b, m, ns * c), out_dtype)
                    for ns in nsamples],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            vals_spec,
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, tm, ns * c), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM) for ns in nsamples],
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t, vals_in)
+    )(new_xyz.astype(jnp.float32), xyz_t, vals)
     return [o.reshape(b, m, ns, c) for o, ns in zip(out, nsamples)]
 
 

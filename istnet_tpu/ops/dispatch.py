@@ -77,16 +77,10 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
     n, m = xyz.shape[1], new_xyz.shape[1]
     if _on_tpu() and n % 128 == 0:
         if features is None:
-            c, exact_c = 3, 3
+            c = 3
         else:
-            feats_exact = features.dtype == jnp.bfloat16
-            if use_xyz:
-                c = features.shape[-1] + 3
-                exact_c = 3 if feats_exact else c
-            else:
-                c = features.shape[-1]
-                exact_c = 0 if feats_exact else c
-        tm = _bq_pl.bqg_tile(m, n, c, nsamples, exact_c)
+            c = features.shape[-1] + (3 if use_xyz else 0)
+        tm = _bq_pl.bqg_tile(m, n, c, nsamples)
         if m % tm == 0:
             return list(_bq_pl.ball_query_group(
                 tuple(radii), tuple(nsamples), bool(use_xyz), False,

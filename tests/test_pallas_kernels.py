@@ -61,14 +61,11 @@ def test_ball_query_group_pallas_matches_xla():
                                        rtol=1e-6, atol=1e-6)
 
 
-def test_ball_query_group_pallas_radix_multigroup():
-    """Radix slot extraction with L2 > 1 (N=256 -> n = n1*2 + n2): exercises
-    the group-select projection, pad-with-first-hit, and no-hit rows. The
-    N=128 tests above hit the degenerate L2=1 decomposition only."""
-    from istnet_tpu.ops.ball_query_pallas import (ball_query_group_pallas,
-                                                  radix_l2)
+def test_ball_query_group_pallas_n256_no_hit_image():
+    """N > 128 tile path with an all-no-hit image (point-0 rows) and
+    pad-with-first-hit rows at two radii."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
 
-    assert radix_l2(256, 3, 3) == 2
     rng = np.random.RandomState(7)
     xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
     xyz[1, :, :] += 100.0          # image 1: no hits anywhere -> point-0 rows
