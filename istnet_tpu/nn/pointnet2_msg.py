@@ -47,6 +47,28 @@ class SharedMLP(nn.Module):
         return x
 
 
+def _fold_shared_mlp(sm: "SharedMLP", nlayers: int, eps: float = 1e-5):
+    """Eval-BN folding of a SharedMLP's layers: per layer (W', b') with
+    ``W' = W * scale/sqrt(var+eps)`` and ``b' = (b - mean)*scale/sqrt(var+eps)
+    + bias`` — so ``relu(x @ W' + b') == relu(BN_eval(x @ W + b))``.
+    Returns None when the variables are absent (fresh init path)."""
+    v = sm.variables
+    if "params" not in v or "batch_stats" not in v:
+        return None
+    p, bs = v["params"], v["batch_stats"]
+    layers = []
+    for i in range(nlayers):
+        k = p[f"TorchDense_{i}"]["Dense_0"]["kernel"]
+        b = p[f"TorchDense_{i}"]["Dense_0"]["bias"]
+        scale = p[f"BatchNorm_{i}"]["scale"]
+        bias = p[f"BatchNorm_{i}"]["bias"]
+        mean = bs[f"BatchNorm_{i}"]["mean"]
+        var = bs[f"BatchNorm_{i}"]["var"]
+        kbn = scale * jax.lax.rsqrt(var + eps)
+        layers.append((k * kbn[None, :], (b - mean) * kbn + bias))
+    return tuple(layers)
+
+
 class PointnetSAModuleMSG(nn.Module):
     """Set abstraction with multi-scale grouping (pointnet2_modules.py:22-114).
 
@@ -65,6 +87,22 @@ class PointnetSAModuleMSG(nn.Module):
         fps_idx = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
+        mlp_mods = [SharedMLP(mlp) for mlp in self.mlps]
+
+        # eval on TPU: the whole stage (query+group+BN-folded MLP+max) runs
+        # as ONE Pallas kernel — the (B, np, ns, C) grouped tensor and the
+        # MLP activations never reach HBM. Training keeps the unfused path
+        # (BN batch stats + custom VJP).
+        if not train and not self.is_initializing() and self.use_xyz:
+            folded = [_fold_shared_mlp(sm, len(mlp))
+                      for sm, mlp in zip(mlp_mods, self.mlps)]
+            if all(f is not None for f in folded):
+                fused = ops.sa_msg_fused(self.radii, self.nsamples, xyz,
+                                         new_xyz, features, folded)
+                if fused is not None:
+                    return new_xyz, jnp.concatenate(
+                        [f.astype(compute_dtype()) for f in fused], axis=-1)
+
         # one fused kernel computes ALL radius scales' grouped tensors
         # ([rel_xyz, feats] at the first-nsample in-radius points) directly —
         # the neighbor-index tensor and the grouping gathers never exist; it
@@ -74,8 +112,8 @@ class PointnetSAModuleMSG(nn.Module):
             self.radii, self.nsamples, xyz, new_xyz, features, self.use_xyz,
             out_dtype=compute_dtype())
         scale_feats = []
-        for grouped, mlp in zip(grouped_per_scale, self.mlps):
-            out = SharedMLP(mlp)(grouped, train)  # (B, np, ns, mlp[-1])
+        for grouped, sm in zip(grouped_per_scale, mlp_mods):
+            out = sm(grouped, train)  # (B, np, ns, mlp[-1])
             scale_feats.append(jnp.max(out, axis=2))
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)
 

@@ -7,6 +7,7 @@
 
 from istnet_tpu.ops.dispatch import (ball_query, ball_query_group,
     ball_query_multi, fp_interpolate, furthest_point_sample,
+    sa_msg_fused,
     three_interpolate, three_nn)
 from istnet_tpu.ops.pointnet2 import (
     gather_points,
@@ -22,6 +23,7 @@ __all__ = [
     "gather_points",
     "group_points",
     "fp_interpolate",
+    "sa_msg_fused",
     "three_interpolate",
     "three_interpolate_weights",
     "three_nn",

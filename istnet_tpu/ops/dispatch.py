@@ -89,6 +89,28 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
         radii, nsamples, xyz, new_xyz, features, use_xyz)]
 
 
+def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
+    """Fully-fused eval SA stage (query+group+folded-MLP+max in one Pallas
+    kernel — the grouped tensor and MLP activations never reach HBM), or
+    ``None`` when unsupported (non-TPU, tile mismatch, or no features —
+    stage 1's C=3 grouped tensor is cheap enough unfused).
+
+    ``folded``: per radius, per layer (W, b) with eval-BN folded in; see
+    ``sa_fused_pallas.sa_msg_fused_pallas``. Returns a list of per-radius
+    (B, M, c_last) bf16 post-max features.
+    """
+    if features is None or not _on_tpu():
+        return None
+    from istnet_tpu.ops import sa_fused_pallas as _sa_pl
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    c = features.shape[-1] + 3
+    tm = _bq_pl.bqg_tile(m, n, c, nsamples)
+    if n % 128 or m % tm:
+        return None
+    return _sa_pl.sa_msg_fused_pallas(tuple(radii), tuple(nsamples), xyz,
+                                      new_xyz, features, tuple(folded))
+
+
 def ball_query_multi(radii, nsamples, xyz, new_xyz):
     """Multi-radius ball query over shared centroids (one fused kernel on TPU)."""
     n, m = xyz.shape[1], new_xyz.shape[1]

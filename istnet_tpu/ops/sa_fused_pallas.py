@@ -1,0 +1,199 @@
+"""Fully-fused SA-MSG stage for eval: ball query + group + SharedMLP + max.
+
+The unfused eval path materializes, per radius scale, the grouped tensor
+(B, M, ns, C) and three SharedMLP activations — ~300 MB of HBM round-trips
+per forward at B=128 for stages 2-4, dominating their cost (profiled: the
+grouping kernels run at ~20% HBM efficiency on their wide slot-sliced
+stores, plus ~0.9 ms of XLA MLP per stage). This kernel keeps each grouped
+slot row in VMEM, immediately pushes it through the (BN-folded) MLP, and
+max-reduces across slots on-chip — per (image, centroid-tile) program the
+only HBM write is the (TM, c_last) post-max feature block.
+
+Semantics composed from the reference ops (grouping exactly as
+``ball_query_gpu.cu:14-59`` + ``group_points_gpu.cu:13-38`` via the one-hot
+rank formulation shared with ``ball_query_pallas``; MLP/max as
+``pytorch_utils.py:25-50`` + ``pointnet2_modules.py:63-73`` in eval mode,
+BatchNorm running-stats folded into the Dense weights). EVAL ONLY: training
+needs batch-stat reductions over (B, M, ns) mid-MLP, so the train path keeps
+the unfused composition (which also provides the custom VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from istnet_tpu.ops.ball_query_pallas import bqg_tile
+
+Array = jax.Array
+
+
+def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
+                     radii: tuple, nsamples: tuple, exact_c: int,
+                     nlayers: int):
+    """One image x TM centroids: grouped slots -> VMEM scratch -> MLP -> max.
+
+    ``rest`` = per radius, per layer: W (c_in, c_out) bf16, b (1, c_out) f32
+    (BN-folded), then the per-radius output refs (1, TM, c_last), then one
+    (max_ns*TM, C) bf16 scratch.
+
+    Two-phase per radius: slot loop stores each grouped (TM, C) row block
+    into the scratch (slot-major), then the MLP runs as ``nlayers`` BIG
+    (ns*TM, c_in) @ (c_in, c_out) dots. A per-slot MLP variant (4 small
+    chained dots per slot) was A/B'd on hardware and lost to the unfused
+    path (5.1 vs 3.8 ms at stage 2) — tiny dependent dots starve the MXU;
+    batching through scratch restores large-matmul efficiency while keeping
+    the activations in VMEM.
+    """
+    nr = len(radii)
+    w_refs = [[rest[(r * nlayers + l) * 2] for l in range(nlayers)]
+              for r in range(nr)]
+    b_refs = [[rest[(r * nlayers + l) * 2 + 1] for l in range(nlayers)]
+              for r in range(nr)]
+    out_refs = rest[nr * nlayers * 2:nr * nlayers * 2 + nr]
+    scratch_ref = rest[-1]
+
+    tm = new_xyz_ref.shape[1]
+    n = xyz_t_ref.shape[2]
+    c = vals_ref.shape[2]
+    a = new_xyz_ref[0]            # (TM, 3)
+    bt = xyz_t_ref[0]             # (3, N)
+    vals = vals_ref[0]            # (N, C) f32
+
+    an = jnp.sum(a * a, axis=1, keepdims=True)
+    bn = jnp.sum(bt * bt, axis=0, keepdims=True)
+    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    d2 = an + bn - 2.0 * ab       # (TM, N), shared by all radii
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    use_tri = n <= 1024
+    if use_tri:
+        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        tri = (r_ <= c_).astype(jnp.int8)
+
+    # exact 3-way bf16 split of the genuine-f32 (xyz) channels, as in
+    # ball_query_pallas — the grouped rows are bit-exact f32 values
+    v_hi = vals.astype(jnp.bfloat16)
+    if exact_c:
+        head = vals[:, :exact_c]
+        r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
+        v_mid = r1.astype(jnp.bfloat16)
+        v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)
+    else:
+        v3 = v_hi
+    vals0 = vals[0:1, :]
+
+    chan = lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+    cen = jnp.concatenate([a, jnp.zeros((tm, c - 3), jnp.float32)], axis=1)
+    cen = jnp.where(chan < 3, cen, 0.0)
+
+    for radius, nsample, out_ref, ws, bs in zip(radii, nsamples, out_refs,
+                                                w_refs, b_refs):
+        hit = d2 < jnp.float32(radius) ** 2
+        if use_tri:
+            cs = lax.dot_general(hit.astype(jnp.int8), tri,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        else:
+            cs = hit.astype(jnp.int32)
+            shift = 1
+            while shift < n:
+                rolled = pltpu.roll(cs, shift, axis=1)
+                cs = cs + jnp.where(lane >= shift, rolled, 0)
+                shift *= 2
+        cnt = cs[:, n - 1:n]
+        csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
+        no_hit = (cnt == 0)
+        for s in range(nsample):
+            tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)
+            d = csm - tgt
+            oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+            g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
+            g = g3[:, :c]
+            if exact_c:
+                fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
+                g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
+                                    axis=1)
+            g = jnp.where(no_hit, vals0, g)
+            g = g - cen                                  # relative xyz
+            scratch_ref[s * tm:(s + 1) * tm, :] = g.astype(jnp.bfloat16)
+        h = scratch_ref[:nsample * tm, :]                # (ns*TM, C) bf16
+        for l in range(nlayers):
+            z = jnp.dot(h, ws[l][...], preferred_element_type=jnp.float32)
+            if l < nlayers - 1:
+                h = jnp.maximum(z + bs[l][...], 0.0).astype(jnp.bfloat16)
+        # max over slots (slot-major scratch layout), then the last layer's
+        # bias + ReLU, both of which commute past the max
+        red = z[:tm]
+        for s in range(1, nsample):
+            red = jnp.maximum(red, z[s * tm:(s + 1) * tm])
+        out = jnp.maximum(red + bs[nlayers - 1][...], 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
+                        new_xyz: Array, features: Array,
+                        folded, interpret: bool = False) -> list:
+    """``(B, N, 3), (B, M, 3), (B, N, Cf)`` + per-radius folded MLP weights
+    -> ``[(B, M, c_last_r) bf16 per radius]`` (post-ReLU, max over samples).
+
+    ``folded``: tuple per radius of ((W, b), ...) layer tuples — W (c_in,
+    c_out) bf16 with eval BatchNorm scale/rsqrt(var) folded in, b (1, c_out)
+    f32 carrying the folded BN shift. Grouping matches QueryAndGroup
+    (use_xyz=True) exactly; the MLP math matches the unfused eval path up to
+    bf16 rounding of the folded weights.
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    feats_exact = features.dtype == jnp.bfloat16
+    vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+    c = vals.shape[-1]
+    exact_c = 3 if feats_exact else c
+    nlayers = len(folded[0])
+
+    tm = bqg_tile(m, n, c, nsamples)
+    if m % tm or n % 128:
+        raise ValueError(f"sa_msg_fused needs M%{tm}==0 and N%128==0, "
+                         f"got M={m} N={n}")
+    xyz_t = jnp.swapaxes(xyz, 1, 2)
+    grid = (b, m // tm)
+
+    wb_args, wb_specs = [], []
+    for layers in folded:
+        for w, bias in layers:
+            wb_args.extend([w.astype(jnp.bfloat16),
+                            bias.reshape(1, -1).astype(jnp.float32)])
+    for arg in wb_args:
+        wb_specs.append(pl.BlockSpec(
+            arg.shape, lambda i, j, r=arg.ndim: (0,) * r,
+            memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_sa_fused_kernel, radii=tuple(radii),
+                          nsamples=tuple(nsamples), exact_c=exact_c,
+                          nlayers=nlayers),
+        out_shape=[jax.ShapeDtypeStruct((b, m, layers[-1][0].shape[-1]),
+                                        jnp.bfloat16) for layers in folded],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] + wb_specs,
+        out_specs=[pl.BlockSpec((1, tm, layers[-1][0].shape[-1]),
+                                lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM) for layers in folded],
+        scratch_shapes=[pltpu.VMEM((max(nsamples) * tm, c), jnp.bfloat16)],
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t, vals, *wb_args)
+    return list(out)

@@ -1,0 +1,88 @@
+"""Fused eval SA stage (query+group+folded-MLP+max) vs the unfused path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from istnet_tpu.ops import pointnet2 as xla_ops
+from istnet_tpu.ops.sa_fused_pallas import sa_msg_fused_pallas
+
+RADII, NS = (0.15, 0.4), (4, 8)
+
+
+def _random_folded(rng, c_in, channels):
+    layers = []
+    for c_out in channels:
+        w = rng.randn(c_in, c_out).astype(np.float32) * 0.2
+        b = rng.randn(c_out).astype(np.float32) * 0.1
+        layers.append((jnp.asarray(w), jnp.asarray(b)))
+        c_in = c_out
+    return tuple(layers)
+
+
+def _reference(radii, ns, xyz, cent, feats, folded):
+    """Unfused composition mirroring the kernel's dtype discipline."""
+    grouped = xla_ops.ball_query_group(radii, ns, xyz, cent, feats, True)
+    outs = []
+    for g, layers in zip(grouped, folded):
+        h = g.astype(jnp.bfloat16)
+        for li, (w, b) in enumerate(layers):
+            z = jnp.dot(h, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b
+            h = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+        outs.append(jnp.max(jnp.maximum(z, 0.0), axis=2))  # (B, M, c_last)
+    return outs
+
+
+def test_sa_fused_kernel_matches_composition():
+    rng = np.random.RandomState(11)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    xyz[1, 200:] += 50.0            # some centroids with no hits
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    feats = jnp.asarray(rng.randn(2, 256, 5).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    folded = tuple(_random_folded(rng, 5 + 3, (16, 16, 32)) for _ in RADII)
+
+    got = sa_msg_fused_pallas(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent),
+                              feats, folded, interpret=True)
+    want = _reference(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent), feats,
+                      folded)
+    for g, w in zip(got, want):
+        assert g.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_sa_module_fused_path_matches_unfused(monkeypatch):
+    """PointnetSAModuleMSG's eval fused path (BN folding + variables access)
+    equals the unfused eval path up to bf16 weight rounding."""
+    from istnet_tpu import ops
+    from istnet_tpu.nn.pointnet2_msg import PointnetSAModuleMSG
+
+    rng = np.random.RandomState(4)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 128, 6).astype(np.float32))
+
+    sa = PointnetSAModuleMSG(npoint=64, radii=RADII, nsamples=NS,
+                             mlps=((8, 8, 16), (8, 8, 16)))
+    variables = sa.init({"params": jax.random.PRNGKey(0)}, xyz, feats,
+                        train=True)
+    # make running stats non-trivial so BN folding is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.1 if x.ndim == 1 else x, variables)
+
+    nxyz_u, feats_u = sa.apply(variables, xyz, feats, train=False)
+
+    def fake_fused(radii, nsamples, x, nx, f, folded):
+        return sa_msg_fused_pallas(tuple(radii), tuple(nsamples), x, nx,
+                                   f, tuple(folded), interpret=True)
+
+    monkeypatch.setattr(ops, "sa_msg_fused", fake_fused)
+    nxyz_f, feats_f = sa.apply(variables, xyz, feats, train=False)
+
+    np.testing.assert_array_equal(np.asarray(nxyz_u), np.asarray(nxyz_f))
+    assert feats_f.shape == feats_u.shape
+    np.testing.assert_allclose(np.asarray(feats_f, np.float32),
+                               np.asarray(feats_u, np.float32),
+                               rtol=5e-2, atol=5e-2)
