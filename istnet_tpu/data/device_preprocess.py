@@ -207,9 +207,20 @@ def backproject_batch(depth: Array, intrinsics: Array, norm_scale: float = 1000.
 
 def fill_missing_tpu(depth_mm: Array, cam_scale: float = 1000.0,
                      scale_2_80m: float = 1.0) -> Array:
-    """Drop-in for ``depth_utils.fill_missing`` running on device, batched."""
+    """Drop-in for ``depth_utils.fill_missing`` running on device, batched.
+
+    On TPU the whole morphology chain runs as ONE fused Pallas kernel per
+    image (``ops.depth_fill_pallas``) — the XLA pipeline's ~15 full-batch
+    HBM round-trips were the largest train-step preprocess cost (~10 ms at
+    B=24). Same outputs (kernel parity-tested against this XLA path)."""
     x = depth_mm.astype(jnp.float32) / cam_scale * scale_2_80m
-    out = fill_in_multiscale_tpu(x, 3.0)
+    from istnet_tpu.ops import dispatch
+    h, w = x.shape[-2], x.shape[-1]
+    if dispatch._on_tpu() and h % 8 == 0 and w % 128 == 0:
+        from istnet_tpu.ops.depth_fill_pallas import fill_in_multiscale_pallas
+        out = fill_in_multiscale_pallas(x, 3.0)
+    else:
+        out = fill_in_multiscale_tpu(x, 3.0)
     return out / scale_2_80m * cam_scale
 
 
