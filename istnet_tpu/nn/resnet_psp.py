@@ -41,6 +41,7 @@ from istnet_tpu.nn.layers import (
     TorchConv,
     adaptive_avg_pool,
     resize_bilinear,
+    resize_bilinear_align_corners,
 )
 
 Array = jax.Array
@@ -183,7 +184,12 @@ class ModifiedResnet(nn.Module):
 
     def __call__(self, x: Array, train: bool) -> Array:
         h = self._features96(x, train)
-        h = self.up3_prelu(self.up3_bn(self.up3_conv(h, fold_resize2=True), train))
+        # up3 is NOT resize-folded: at 64->64 channels the 192^2 conv is
+        # cheap on the MXU and the fold's corner-turn transposes cost more
+        # than the 4x FLOP saving (A/B'd on the train step; up1/up2 with
+        # 1024/256 input channels keep the fold)
+        h = resize_bilinear_align_corners(h, 2 * h.shape[1], 2 * h.shape[2])
+        h = self.up3_prelu(self.up3_bn(self.up3_conv(h), train))
         return self.final_prelu(self.final_bn(self.final_conv(h), train))
 
     def sparse_points(self, x: Array, choose: Array, train: bool) -> Array:
