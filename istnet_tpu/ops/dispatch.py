@@ -92,8 +92,12 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
 def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     """Fully-fused eval SA stage (query+group+folded-MLP+max in one Pallas
     kernel — the grouped tensor and MLP activations never reach HBM), or
-    ``None`` when unsupported (non-TPU, tile mismatch, or no features —
-    stage 1's C=3 grouped tensor is cheap enough unfused).
+    ``None`` when unsupported (non-TPU, tile mismatch, or no features).
+
+    Stage 1 (features=None) stays unfused BY MEASUREMENT: the kernel
+    supports it, but at C=3 the grouped tensor is small, the one-hot dot
+    dominates the stage, and the in-kernel K=3 MLP dots are pure overhead —
+    fusing it measured 2333 vs 2430 inf/s/chip on the full eval forward.
 
     ``folded``: per radius, per layer (W, b) with eval-BN folded in; see
     ``sa_fused_pallas.sa_msg_fused_pallas``. Returns a list of per-radius

@@ -92,7 +92,8 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
     vals0 = vals[0:1, :]
 
     chan = lax.broadcasted_iota(jnp.int32, (tm, c), 1)
-    cen = jnp.concatenate([a, jnp.zeros((tm, c - 3), jnp.float32)], axis=1)
+    cen = (jnp.concatenate([a, jnp.zeros((tm, c - 3), jnp.float32)], axis=1)
+           if c > 3 else a)
     cen = jnp.where(chan < 3, cen, 0.0)
 
     for radius, nsample, out_ref, ws, bs in zip(radii, nsamples, out_refs,
@@ -120,8 +121,11 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
             g = g3[:, :c]
             if exact_c:
                 fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
-                g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
-                                    axis=1)
+                if exact_c == c:
+                    g = g + fix
+                else:
+                    g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
+                                        axis=1)
             g = jnp.where(no_hit, vals0, g)
             g = g - cen                                  # relative xyz
             scratch_ref[s * tm:(s + 1) * tm, :] = g.astype(jnp.bfloat16)
@@ -155,10 +159,14 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)
-    feats_exact = features.dtype == jnp.bfloat16
-    vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+    if features is None:
+        vals = xyz
+        exact_c = 3
+    else:
+        feats_exact = features.dtype == jnp.bfloat16
+        vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+        exact_c = 3 if feats_exact else vals.shape[-1]
     c = vals.shape[-1]
-    exact_c = 3 if feats_exact else c
     nlayers = len(folded[0])
 
     tm = bqg_tile(m, n, c, nsamples)

@@ -54,6 +54,22 @@ def test_sa_fused_kernel_matches_composition():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_sa_fused_kernel_features_none():
+    """Stage-1 form: grouped values are the relative xyz alone."""
+    rng = np.random.RandomState(3)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    folded = tuple(_random_folded(rng, 3, (8, 8, 16)) for _ in RADII)
+    got = sa_msg_fused_pallas(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent),
+                              None, folded, interpret=True)
+    want = _reference(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent), None,
+                      folded)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_sa_module_fused_path_matches_unfused(monkeypatch):
     """PointnetSAModuleMSG's eval fused path (BN folding + variables access)
     equals the unfused eval path up to bf16 weight rounding."""
