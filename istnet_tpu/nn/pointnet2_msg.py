@@ -92,8 +92,11 @@ class PointnetSAModuleMSG(nn.Module):
         # eval on TPU: the whole stage (query+group+BN-folded MLP+max) runs
         # as ONE Pallas kernel — the (B, np, ns, C) grouped tensor and the
         # MLP activations never reach HBM. Training keeps the unfused path
-        # (BN batch stats + custom VJP).
-        if not train and not self.is_initializing() and self.use_xyz:
+        # (BN batch stats + custom VJP). Gated on the bf16 compute policy:
+        # the kernel's MLP runs bf16 regardless, so taking it under an f32
+        # policy would silently downgrade an f32 parity/accuracy run.
+        if (not train and not self.is_initializing() and self.use_xyz
+                and compute_dtype() == jnp.bfloat16):
             folded = [_fold_shared_mlp(sm, len(mlp))
                       for sm, mlp in zip(mlp_mods, self.mlps)]
             if all(f is not None for f in folded):

@@ -40,31 +40,13 @@ def _ball_query_kernel(new_xyz_ref, xyz_t_ref, *out_refs,
                  precision=lax.Precision.HIGHEST)                 # (TM, N)
     d2 = an + bn - 2.0 * ab       # shared by all radii
 
-    # inclusive prefix sum along lanes (Mosaic has no cumsum):
-    # - N <= 1024: int8 MXU matmul against an upper-triangular ones matrix
-    #   (~10% faster than rolls; (N, N) tri stays small)
-    # - larger N (the 2048-pt config): Hillis-Steele doubling with masked
-    #   rolls — the O(N^2) triangle would strain VMEM there
-    use_tri = n <= 1024
-    if use_tri:
-        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        tri = (r_ <= c_).astype(jnp.int8)
-    else:
-        lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    # inclusive prefix sum along lanes (Mosaic has no cumsum) — see
+    # make_tri/lane_cumsum below
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    tri = make_tri(n)
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
-        if use_tri:
-            cs = lax.dot_general(hit.astype(jnp.int8), tri,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        else:
-            cs = hit.astype(jnp.int32)
-            shift = 1
-            while shift < n:
-                rolled = pltpu.roll(cs, shift, axis=1)
-                cs = cs + jnp.where(lane >= shift, rolled, 0)
-                shift *= 2
+        cs = lane_cumsum(hit, lane, tri, n)
 
         cols = []
         for s in range(nsample):
@@ -149,6 +131,87 @@ def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
     return tm
 
 
+# --- shared kernel pieces ----------------------------------------------------
+# Used by BOTH _bq_group_kernel here and _sa_fused_kernel
+# (sa_fused_pallas.py) so the rank/one-hot/bf16-split formulations cannot
+# silently diverge; their exactness is pinned by the bit-parity tests in
+# tests/test_pallas_kernels.py and tests/test_sa_fused.py.
+
+def make_tri(n: int):
+    """(N, N) int8 upper-triangular ones for the MXU prefix-sum, or None
+    when the Hillis-Steele path should be used (large N strains VMEM)."""
+    if n > 1024:
+        return None
+    r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r_ <= c_).astype(jnp.int8)
+
+
+def lane_cumsum(hit, lane, tri, n: int):
+    """Inclusive prefix sum of a boolean mask along lanes, int32.
+
+    N <= 1024: int8 MXU matmul against the triangular ones matrix (~10%
+    faster than rolls). Larger N: Hillis-Steele doubling with masked rolls.
+    """
+    if tri is not None:
+        return lax.dot_general(hit.astype(jnp.int8), tri,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    cs = hit.astype(jnp.int32)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(cs, shift, axis=1)
+        cs = cs + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    return cs
+
+
+def split_exact(vals, exact_c: int):
+    """Exact 3-way bf16 split (24 mantissa bits) of the first ``exact_c``
+    channels; the rest are exactly bf16 already (hi part reconstructs).
+    (N, C) f32 -> (N, C + 2*exact_c) bf16 [hi | mid | lo]."""
+    v_hi = vals.astype(jnp.bfloat16)
+    if not exact_c:
+        return v_hi
+    head = vals[:, :exact_c]
+    r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
+    v_mid = r1.astype(jnp.bfloat16)
+    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([v_hi, v_mid, v_lo], axis=1)
+
+
+def rank_domain(cs, hit, n: int):
+    """(csm, cnt, no_hit): bf16 hit ranks (ints <= 256 exact; non-hit lanes
+    masked to 256, above any slot target <= 48), per-row hit count, and the
+    empty-row mask."""
+    cnt = cs[:, n - 1:n]
+    csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
+    return csm, cnt, cnt == 0
+
+
+def slot_onehot(csm, cnt, s: int):
+    """One-hot (bf16) of the s-th hit lane; pad slots reuse the first hit.
+
+    Equality as relu(1 - d^2): a bf16 compare+select variant was A/B'd on
+    hardware and Mosaic rejects it (packed-bf16 compare vectors) — the
+    arithmetic form is the supported formulation."""
+    tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)
+    d = csm - tgt
+    return jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+
+
+def recombine_exact(g3, c: int, exact_c: int):
+    """Sum the hi/mid/lo parts of a one-hot x split-values dot back to the
+    exact f32 grouped row: (TM, C + 2*exact_c) -> (TM, C)."""
+    g = g3[:, :c]
+    if not exact_c:
+        return g
+    fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
+    if exact_c == c:
+        return g + fix
+    return jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]], axis=1)
+
+
 def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
                      radii: tuple, nsamples: tuple, sub_xyz: int,
                      exact_c: int):
@@ -193,23 +256,8 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
     d2 = an + bn - 2.0 * ab       # (TM, N), shared by all radii
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
-    use_tri = n <= 1024
-    if use_tri:
-        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        tri = (r_ <= c_).astype(jnp.int8)
-
-    # exact 3-way bf16 split (24 mantissa bits) of the first exact_c channels;
-    # the rest are exactly bf16 already (hi part alone reconstructs them)
-    v_hi = vals.astype(jnp.bfloat16)
-    if exact_c:
-        head = vals[:, :exact_c]
-        r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
-        v_mid = r1.astype(jnp.bfloat16)
-        v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)  # (N, C + 2*exact_c)
-    else:
-        v3 = v_hi
+    tri = make_tri(n)
+    v3 = split_exact(vals, exact_c)                           # (N, C+2*exact_c)
     vals0 = vals[0:1, :]                                      # (1, C)
 
     if sub_xyz:
@@ -220,39 +268,12 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
 
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
-        if use_tri:
-            cs = lax.dot_general(hit.astype(jnp.int8), tri,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        else:
-            cs = hit.astype(jnp.int32)
-            shift = 1
-            while shift < n:
-                rolled = pltpu.roll(cs, shift, axis=1)
-                cs = cs + jnp.where(lane >= shift, rolled, 0)
-                shift *= 2
-        cnt = cs[:, n - 1:n]                                  # (TM, 1)
-        # bf16 rank domain (ints <= 256 are exact); non-hit lanes masked to
-        # 256 (> any slot target <= 48). Equality as relu(1 - d^2): pure
-        # bf16 arithmetic — Mosaic rejects packed int8/i1 compare vectors.
-        csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
-        no_hit = (cnt == 0)
+        cs = lane_cumsum(hit, lane, tri, n)
+        csm, cnt, no_hit = rank_domain(cs, hit, n)
         for s in range(nsample):
-            tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)  # pad = 1st hit
-            # equality as relu(1 - d^2): a bf16 compare+select variant was
-            # A/B'd on hardware and Mosaic rejects it (packed-bf16 compare
-            # vectors) — the arithmetic form is the supported formulation
-            d = csm - tgt
-            oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+            oh = slot_onehot(csm, cnt, s)                     # pad = 1st hit
             g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
-            g = g3[:, :c]
-            if exact_c:
-                fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
-                if exact_c == c:
-                    g = g + fix
-                else:
-                    g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
-                                        axis=1)
+            g = recombine_exact(g3, c, exact_c)
             g = jnp.where(no_hit, vals0, g)                   # no hit -> point 0
             if sub_xyz:
                 g = g - cen

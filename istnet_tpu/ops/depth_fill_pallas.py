@@ -223,6 +223,10 @@ def fill_in_multiscale_pallas(depth: Array, max_depth: float = 3.0,
     (same op sequence and border semantics, fp-identical min/max chains; the
     bilateral's exp/divide may differ in the last ulp)."""
     b, h, w = depth.shape
+    if w % 128 or h % 8:
+        # the chunked median/bilateral halo slices assume 128-col chunks
+        raise ValueError(f"fill_in_multiscale_pallas needs W%128==0 and "
+                         f"H%8==0, got H={h} W={w} (use the XLA path)")
     return pl.pallas_call(
         functools.partial(_fill_kernel, max_depth=max_depth),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),

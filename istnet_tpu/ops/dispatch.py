@@ -111,6 +111,8 @@ def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     tm = _bq_pl.bqg_tile(m, n, c, nsamples)
     if n % 128 or m % tm:
         return None
+    if any(len(layers) != len(folded[0]) for layers in folded):
+        return None  # per-radius MLP depths differ -> unfused path
     return _sa_pl.sa_msg_fused_pallas(tuple(radii), tuple(nsamples), xyz,
                                       new_xyz, features, tuple(folded))
 

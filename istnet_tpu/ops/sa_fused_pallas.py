@@ -28,7 +28,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from istnet_tpu.ops.ball_query_pallas import bqg_tile
+from istnet_tpu.ops.ball_query_pallas import (
+    bqg_tile,
+    lane_cumsum,
+    make_tri,
+    rank_domain,
+    recombine_exact,
+    slot_onehot,
+    split_exact,
+)
 
 Array = jax.Array
 
@@ -72,23 +80,10 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
     d2 = an + bn - 2.0 * ab       # (TM, N), shared by all radii
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
-    use_tri = n <= 1024
-    if use_tri:
-        r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        tri = (r_ <= c_).astype(jnp.int8)
-
-    # exact 3-way bf16 split of the genuine-f32 (xyz) channels, as in
-    # ball_query_pallas — the grouped rows are bit-exact f32 values
-    v_hi = vals.astype(jnp.bfloat16)
-    if exact_c:
-        head = vals[:, :exact_c]
-        r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
-        v_mid = r1.astype(jnp.bfloat16)
-        v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        v3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=1)
-    else:
-        v3 = v_hi
+    tri = make_tri(n)
+    # exact 3-way bf16 split of the genuine-f32 (xyz) channels — shared
+    # helpers with _bq_group_kernel; grouped rows are bit-exact f32 values
+    v3 = split_exact(vals, exact_c)
     vals0 = vals[0:1, :]
 
     chan = lax.broadcasted_iota(jnp.int32, (tm, c), 1)
@@ -99,33 +94,12 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
     for radius, nsample, out_ref, ws, bs in zip(radii, nsamples, out_refs,
                                                 w_refs, b_refs):
         hit = d2 < jnp.float32(radius) ** 2
-        if use_tri:
-            cs = lax.dot_general(hit.astype(jnp.int8), tri,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-        else:
-            cs = hit.astype(jnp.int32)
-            shift = 1
-            while shift < n:
-                rolled = pltpu.roll(cs, shift, axis=1)
-                cs = cs + jnp.where(lane >= shift, rolled, 0)
-                shift *= 2
-        cnt = cs[:, n - 1:n]
-        csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
-        no_hit = (cnt == 0)
+        cs = lane_cumsum(hit, lane, tri, n)
+        csm, cnt, no_hit = rank_domain(cs, hit, n)
         for s in range(nsample):
-            tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)
-            d = csm - tgt
-            oh = jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+            oh = slot_onehot(csm, cnt, s)
             g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
-            g = g3[:, :c]
-            if exact_c:
-                fix = g3[:, c:c + exact_c] + g3[:, c + exact_c:c + 2 * exact_c]
-                if exact_c == c:
-                    g = g + fix
-                else:
-                    g = jnp.concatenate([g[:, :exact_c] + fix, g[:, exact_c:]],
-                                        axis=1)
+            g = recombine_exact(g3, c, exact_c)
             g = jnp.where(no_hit, vals0, g)
             g = g - cen                                  # relative xyz
             scratch_ref[s * tm:(s + 1) * tm, :] = g.astype(jnp.bfloat16)
@@ -168,6 +142,10 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
         exact_c = 3 if feats_exact else vals.shape[-1]
     c = vals.shape[-1]
     nlayers = len(folded[0])
+    if any(len(layers) != nlayers for layers in folded):
+        # the kernel's flat weight-operand indexing assumes one depth
+        raise ValueError("sa_msg_fused needs the same MLP depth per radius, "
+                         f"got {[len(ls) for ls in folded]}")
 
     tm = bqg_tile(m, n, c, nsamples)
     if m % tm or n % 128:

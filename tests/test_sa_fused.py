@@ -54,6 +54,37 @@ def test_sa_fused_kernel_matches_composition():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_sa_fused_grouping_bit_parity_via_identity_mlp():
+    """With a single identity layer the fused kernel reduces to
+    relu(max(grouped)) on the bf16-rounded grouped rows — bitwise equal to
+    the grouping kernel's bf16 output. Pins that the shared rank/one-hot/
+    bf16-split formulation stays EXACT through the fused path (the
+    bf16x3-exactness caveat, CLAUDE.md)."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    rng = np.random.RandomState(9)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    xyz[1, 200:] += 50.0
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    feats = jnp.asarray(rng.randn(2, 256, 5).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    c = 3 + 5
+    eye = (jnp.eye(c, dtype=jnp.float32), jnp.zeros((c,), jnp.float32))
+    folded = ((eye,), (eye,))
+
+    got = sa_msg_fused_pallas(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent),
+                              feats, folded, interpret=True)
+    grouped = ball_query_group_pallas(RADII, NS, jnp.asarray(xyz),
+                                      jnp.asarray(cent), feats, True,
+                                      interpret=True,
+                                      out_dtype=jnp.bfloat16)
+    for g, gr in zip(got, grouped):
+        want = jnp.maximum(jnp.max(gr.astype(jnp.float32), axis=2), 0.0
+                           ).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(want, np.float32))
+
+
 def test_sa_fused_kernel_features_none():
     """Stage-1 form: grouped values are the relative xyz alone."""
     rng = np.random.RandomState(3)
@@ -72,8 +103,11 @@ def test_sa_fused_kernel_features_none():
 
 def test_sa_module_fused_path_matches_unfused(monkeypatch):
     """PointnetSAModuleMSG's eval fused path (BN folding + variables access)
-    equals the unfused eval path up to bf16 weight rounding."""
+    equals the unfused eval path up to bf16 weight rounding. The fused gate
+    requires the bf16 compute policy (an f32 eval must never silently run
+    the bf16 kernel), so both applies run under bf16."""
     from istnet_tpu import ops
+    from istnet_tpu.nn import precision
     from istnet_tpu.nn.pointnet2_msg import PointnetSAModuleMSG
 
     rng = np.random.RandomState(4)
@@ -88,14 +122,28 @@ def test_sa_module_fused_path_matches_unfused(monkeypatch):
     variables = jax.tree_util.tree_map(
         lambda x: x + 0.1 if x.ndim == 1 else x, variables)
 
-    nxyz_u, feats_u = sa.apply(variables, xyz, feats, train=False)
+    calls = []
 
     def fake_fused(radii, nsamples, x, nx, f, folded):
+        calls.append(1)
         return sa_msg_fused_pallas(tuple(radii), tuple(nsamples), x, nx,
                                    f, tuple(folded), interpret=True)
 
     monkeypatch.setattr(ops, "sa_msg_fused", fake_fused)
-    nxyz_f, feats_f = sa.apply(variables, xyz, feats, train=False)
+    old = precision.compute_dtype()
+    try:
+        precision.set_compute_dtype(jnp.float32)
+        sa.apply(variables, xyz, feats, train=False)
+        assert not calls, "f32 policy must NOT take the bf16 fused path"
+
+        precision.set_compute_dtype(jnp.bfloat16)
+        nxyz_f, feats_f = sa.apply(variables, xyz, feats, train=False)
+        assert calls, "bf16 eval should take the fused path"
+
+        monkeypatch.setattr(ops, "sa_msg_fused", lambda *a: None)
+        nxyz_u, feats_u = sa.apply(variables, xyz, feats, train=False)
+    finally:
+        precision.set_compute_dtype(old)
 
     np.testing.assert_array_equal(np.asarray(nxyz_u), np.asarray(nxyz_f))
     assert feats_f.shape == feats_u.shape
