@@ -108,11 +108,12 @@ def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     from istnet_tpu.ops import sa_fused_pallas as _sa_pl
     n, m = xyz.shape[1], new_xyz.shape[1]
     c = features.shape[-1] + 3
-    tm = _bq_pl.bqg_tile(m, n, c, nsamples)
-    if n % 128 or m % tm:
-        return None
     if any(len(layers) != len(folded[0]) for layers in folded):
         return None  # per-radius MLP depths differ -> unfused path
+    c_out_max = max(w.shape[-1] for layers in folded for w, _ in layers)
+    tm = _sa_pl.sa_tile(m, n, c, nsamples, c_out_max)
+    if n % 128 or m % tm:
+        return None
     return _sa_pl.sa_msg_fused_pallas(tuple(radii), tuple(nsamples), xyz,
                                       new_xyz, features, tuple(folded))
 

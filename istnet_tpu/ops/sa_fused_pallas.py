@@ -29,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from istnet_tpu.ops.ball_query_pallas import (
-    bqg_tile,
     lane_cumsum,
     make_tri,
     rank_domain,
@@ -39,6 +38,27 @@ from istnet_tpu.ops.ball_query_pallas import (
 )
 
 Array = jax.Array
+
+
+def _pad128(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def sa_tile(m: int, n: int, c: int, nsamples, c_out_max: int) -> int:
+    """Centroid tile for the fused SA kernel.
+
+    Budget differs from ``bqg_tile``: the scratch design keeps no wide
+    slot-sliced output block, but holds the (ns*TM, C) grouped scratch and
+    the (ns*TM, c_out) MLP activations (lane-padded, bf16). Larger tiles
+    than the grouping kernel's fit — e.g. stage 2 (N=512, C=67) runs TM=256
+    where bqg_tile picks 128, halving the per-program launch count."""
+    tm = min(m, 512)
+    ns = max(nsamples)
+    while tm > 64 and (tm * n * 12 + n * n
+                       + ns * tm * (_pad128(c) + 2 * _pad128(c_out_max)) * 2
+                       ) > 12 * 2 ** 20:
+        tm //= 2
+    return tm
 
 
 def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
@@ -147,7 +167,8 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
         raise ValueError("sa_msg_fused needs the same MLP depth per radius, "
                          f"got {[len(ls) for ls in folded]}")
 
-    tm = bqg_tile(m, n, c, nsamples)
+    c_out_max = max(w.shape[-1] for layers in folded for w, _ in layers)
+    tm = sa_tile(m, n, c, nsamples, c_out_max)
     if m % tm or n % 128:
         raise ValueError(f"sa_msg_fused needs M%{tm}==0 and N%128==0, "
                          f"got M={m} N={n}")
