@@ -106,25 +106,90 @@ def _selection_ces(n: int, rank: int) -> list[tuple[int, int]]:
     return list(reversed(kept))
 
 
-_MEDIAN25_CES = _selection_ces(32, 12)  # 25 real taps + 7 +inf pads
+def _oem_merge(a: list, b: list, ces: list) -> list:
+    """Batcher odd-even merge of sorted runs ``a``/``b`` (index lists);
+    appends compare-exchanges, returns the sorted order as an index list."""
+    if not a:
+        return list(b)
+    if not b:
+        return list(a)
+    if len(a) == 1 and len(b) == 1:
+        ces.append((a[0], b[0]))
+        return [a[0], b[0]]
+    evens = _oem_merge(a[0::2], b[0::2], ces)
+    odds = _oem_merge(a[1::2], b[1::2], ces)
+    res = [evens[0]]
+    i = 0
+    while i < len(odds) or i + 1 < len(evens):
+        o = odds[i] if i < len(odds) else None
+        e = evens[i + 1] if i + 1 < len(evens) else None
+        if o is not None and e is not None:
+            ces.append((o, e))
+            res += [o, e]
+        elif o is not None:
+            res.append(o)
+        else:
+            res.append(e)
+        i += 1
+    return res
+
+
+def _median25_sorted_cols_network() -> tuple[list, int]:
+    """Median-of-25 network for inputs laid out as FIVE pre-sorted 5-runs
+    (positions 5k..5k+4): a merge tree ((5,5),(5,5))->(10,10)->(20,5),
+    dependency-pruned to the median output. 82 CEs vs 153 for the pruned
+    Batcher-32 selection on unsorted taps — the shared 9-CE column sort
+    amortizes over the window's 5 horizontal shifts (sorting the vertical
+    quintuples commutes with horizontal shifting). Exhaustively verified
+    (0-1 principle over all 6^5 sorted-column patterns) in
+    tests/test_median_network.py."""
+    ces: list = []
+    o01 = _oem_merge(list(range(0, 5)), list(range(5, 10)), ces)
+    o23 = _oem_merge(list(range(10, 15)), list(range(15, 20)), ces)
+    o03 = _oem_merge(o01, o23, ces)
+    order = _oem_merge(o03, list(range(20, 25)), ces)
+    out = order[12]
+    needed = {out}
+    kept = []
+    for a, b in reversed(ces):
+        if a in needed or b in needed:
+            kept.append((a, b))
+            needed.update((a, b))
+    return list(reversed(kept)), out
+
+
+# optimal 9-CE 5-element sorting network (ranks ascending)
+_SORT5_CES = [(0, 1), (3, 4), (2, 4), (2, 3), (1, 4), (0, 3), (0, 2),
+              (1, 3), (1, 2)]
+_MEDIAN25_SC_CES, _MEDIAN25_SC_OUT = _median25_sorted_cols_network()
+
+
+def _apply_ces(taps: list, ces: list) -> None:
+    for a, b in ces:
+        lo = jnp.minimum(taps[a], taps[b])
+        hi = jnp.maximum(taps[a], taps[b])
+        taps[a], taps[b] = lo, hi
 
 
 def _median5(x: Array) -> Array:
     """5x5 median with replicated borders (cv2.medianBlur, exact).
 
     ``jnp.sort`` over the 25-tap axis costs ~40 ms at (24, 480, 640) on a
-    v5e (XLA TPU sort is slow); a rank-12 selection network pruned from
-    Batcher's odd-even mergesort (~{n} min/max pairs) fuses into one
-    elementwise kernel and runs in ~2 ms.
-    """.format(n=len(_MEDIAN25_CES))
-    offs = _footprint_offsets("full", 2)
-    taps = list(jnp.moveaxis(_patches(x, offs, "edge"), -1, 0))
-    taps += [jnp.full_like(x, jnp.inf)] * (32 - len(taps))
-    for a, b in _MEDIAN25_CES:
-        lo = jnp.minimum(taps[a], taps[b])
-        hi = jnp.maximum(taps[a], taps[b])
-        taps[a], taps[b] = lo, hi
-    return taps[12]
+    v5e (XLA TPU sort is slow); a selection network fuses into elementwise
+    min/max chains. The vertical quintuple at each pixel is sorted ONCE
+    (9 CEs) and shared by the 5 horizontal window shifts, then the pruned
+    sorted-runs merge network (82 CEs) extracts the median — the median is a
+    unique order statistic, so this is bit-identical to any other correct
+    network."""
+    cols = list(jnp.moveaxis(
+        _patches(x, [(dy, 0) for dy in range(-2, 3)], "edge"), -1, 0))
+    _apply_ces(cols, _SORT5_CES)
+    taps = []
+    for dx in range(-2, 3):
+        for j in range(5):
+            taps.append(_patches(cols[j], [(0, dx)], "edge")[..., 0])
+    _apply_ces(taps, _MEDIAN25_SC_CES)
+    return taps[_MEDIAN25_SC_OUT]
 
 
 def _bilateral5(x: Array, sigma_color: float = 0.5, sigma_space: float = 2.0) -> Array:

@@ -37,6 +37,8 @@ Array = jax.Array
 
 _VALID = dp._VALID
 _NEG = -3.4e38  # effectively -inf; keeps the negate-for-erode trick finite
+_CHUNK = 256    # median/bilateral column-chunk width (tap-liveness knob;
+                # 256 measured ~9% faster than 128, 64 slower — fill_bench)
 
 
 def _shift_rows(x: Array, dy: int, mode: str) -> Array:
@@ -108,37 +110,47 @@ def _erode_full(x: Array, radius: int) -> Array:
     return -_dilate_full(-x, radius)
 
 
-def _median5_plane(x: Array, chunk: int = 128) -> Array:
-    """5x5 median, edge borders — same pruned Batcher network as the XLA
-    path (dp._MEDIAN25_CES), chunked over columns to bound liveness."""
+def _median5_plane(x: Array, chunk: int | None = None) -> Array:
+    """5x5 median, edge borders — same shared-column-sort + pruned-merge
+    network as the XLA path (dp._SORT5_CES / dp._MEDIAN25_SC_CES): the
+    vertical quintuples are sorted ONCE on full planes (9 CEs, shared by all
+    horizontal shifts and chunks), then the 82-CE merge runs per column
+    chunk to bound tap liveness. Bit-identical to any correct median."""
+    chunk = chunk or _CHUNK
     w = x.shape[1]
-    offs = dp._footprint_offsets("full", 2)
+    cols = [_shift_rows(x, dy, "edge") for dy in range(-2, 3)]
+    _apply_ces(cols, dp._SORT5_CES)
     outs = []
     for c0 in range(0, w, chunk):
         c1 = min(c0 + chunk, w)
-        # edge-replicated 2-col halos (exact left/right border handling)
-        lcols = ([x[:, 0:1]] * 2 if c0 == 0
-                 else [x[:, c0 - 2:c0 - 1], x[:, c0 - 1:c0]])
-        rcols = ([x[:, w - 1:w]] * 2 if c1 == w
-                 else [x[:, c1:c1 + 1], x[:, c1 + 1:c1 + 2]])
-        xc = jnp.concatenate(lcols + [x[:, c0:c1]] + rcols, axis=1)
-        taps = []
-        for dy, dx in offs:
-            t = _shift_rows(xc, dy, "edge")
-            taps.append(t[:, 2 + dx:2 + dx + (c1 - c0)])
-        taps += [jnp.full_like(taps[0], jnp.inf)] * (32 - len(taps))
-        for a, b in dp._MEDIAN25_CES:
-            lo = jnp.minimum(taps[a], taps[b])
-            hi = jnp.maximum(taps[a], taps[b])
-            taps[a], taps[b] = lo, hi
-        outs.append(taps[12])
+        xcs = []
+        for p in cols:
+            # edge-replicated 2-col halos (exact left/right border handling;
+            # border-clamp commutes with the vertical sort)
+            lcols = ([p[:, 0:1]] * 2 if c0 == 0
+                     else [p[:, c0 - 2:c0 - 1], p[:, c0 - 1:c0]])
+            rcols = ([p[:, w - 1:w]] * 2 if c1 == w
+                     else [p[:, c1:c1 + 1], p[:, c1 + 1:c1 + 2]])
+            xcs.append(jnp.concatenate(lcols + [p[:, c0:c1]] + rcols, axis=1))
+        taps = [xc[:, 2 + dx:2 + dx + (c1 - c0)]
+                for dx in range(-2, 3) for xc in xcs]
+        _apply_ces(taps, dp._MEDIAN25_SC_CES)
+        outs.append(taps[dp._MEDIAN25_SC_OUT])
     return jnp.concatenate(outs, axis=1)
 
 
-def _bilateral5_plane(x: Array, chunk: int = 128,
+def _apply_ces(taps: list, ces: list) -> None:
+    for a, b in ces:
+        lo = jnp.minimum(taps[a], taps[b])
+        hi = jnp.maximum(taps[a], taps[b])
+        taps[a], taps[b] = lo, hi
+
+
+def _bilateral5_plane(x: Array, chunk: int | None = None,
                       sigma_color: float = 0.5,
                       sigma_space: float = 2.0) -> Array:
     """5x5 disk bilateral, reflect-101 borders (cv2.bilateralFilter)."""
+    chunk = chunk or _CHUNK
     h, w = x.shape
     offs = dp._footprint_offsets("disk", 2)
     sws = [float(np.exp(-0.5 * (dy * dy + dx * dx) / sigma_space ** 2))
