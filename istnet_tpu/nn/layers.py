@@ -84,7 +84,8 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, padding: int | None = None,
-                 fold_resize2: bool = False) -> Array:
+                 fold_resize2: bool = False,
+                 fold_kernel: bool = False) -> Array:
         """``padding`` overrides the attribute at call time (same parameters;
         used by the sparse point-decode path to run a padded conv on
         pre-extracted patches with padding 0).
@@ -92,6 +93,9 @@ class TorchConv(nn.Module):
         ``fold_resize2``: treat ``x`` as the PRE-upsample map and compute
         ``conv(resize_bilinear_align_corners(x, 2h, 2w))`` without
         materializing the resized map — see ``conv3x3_on_doubled``.
+
+        ``fold_kernel``: additionally allow the fused eval-only Pallas kernel
+        for the fold on TPU (no VJP — pass ``not train``).
         """
         in_ch = x.shape[-1]
         dt = compute_dtype()
@@ -106,6 +110,11 @@ class TorchConv(nn.Module):
                     or self.dilation != 1
                     or (self.padding if padding is None else padding) != 1):
                 raise ValueError("fold_resize2 needs a 3x3/stride-1/pad-1 conv")
+            if fold_kernel:
+                from istnet_tpu.ops import dispatch
+                out = dispatch.fold_upsample_conv(x, k, b)
+                if out is not None:
+                    return out
             return conv3x3_on_doubled(x, k, b)
         pad = self.padding if padding is None else padding
         if isinstance(pad, int):

@@ -139,8 +139,10 @@ class PSPUpsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         # resize folded into the conv (conv3x3_on_doubled): exact, 4x fewer
-        # conv FLOPs than materializing the doubled map
-        x = TorchConv(self.features, (3, 3), padding=1)(x, fold_resize2=True)
+        # conv FLOPs than materializing the doubled map; at eval the whole
+        # fold runs as one in-VMEM Pallas kernel (fold_upsample_pallas)
+        x = TorchConv(self.features, (3, 3), padding=1)(
+            x, fold_resize2=True, fold_kernel=not train)
         x = BatchNorm()(x, train)
         return PReLU()(x)
 

@@ -89,6 +89,25 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
         radii, nsamples, xyz, new_xyz, features, use_xyz)]
 
 
+def fold_upsample_conv(x, k, b):
+    """Fused ``conv3x3(resize_x2_align_corners(x))`` (one VMEM pass per image
+    on TPU) or ``None`` when unsupported — caller falls back to the XLA fold
+    (``nn/layers.py::conv3x3_on_doubled``). Eval-only: the kernel has no VJP.
+
+    Gated BY MEASUREMENT (full eval forward on a v5e):
+    - channels: at up1's 1024-channel input the XLA fold's big channel matmul
+      already runs at 174 TF/s and the kernel's mandatory per-image
+      corner-turn (Mosaic swapaxes, ~11 us/image) loses to it (3.92 vs
+      3.55 ms standalone at B=128) -> kernel only when cin <= 512;
+    - batch: at B=128 XLA amortizes the fold into its surrounding fusions
+      and the kernel LOSES end to end (2205 vs 2430 inf/s), while at B=32
+      the kernel wins (2107 vs ~1940 inf/s) -> kernel only when B <= 64."""
+    if not _on_tpu() or x.shape[-1] > 512 or x.shape[0] > 64:
+        return None
+    from istnet_tpu.ops import fold_upsample_pallas as _fu_pl
+    return _fu_pl.fold_upsample_conv_pallas(x, k, b)
+
+
 def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     """Fully-fused eval SA stage (query+group+folded-MLP+max in one Pallas
     kernel — the grouped tensor and MLP activations never reach HBM), or

@@ -53,6 +53,24 @@ def test_torchconv_fold_flag_matches_module_composition():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,h,w,cin,cout", [(2, 8, 8, 16, 8), (3, 6, 4, 8, 4)])
+def test_pallas_fold_kernel_matches_xla_fold(b, h, w, cin, cout):
+    """The eval-only fused Pallas fold (fold_upsample_pallas) equals the XLA
+    fold up to f32-accumulation rounding (interpret mode; on TPU the same
+    kernel was hardware-checked at up1/up2 shapes, rel diff <= 2e-4)."""
+    from istnet_tpu.ops.fold_upsample_pallas import fold_upsample_conv_pallas
+
+    key = jax.random.PRNGKey(b * 10 + w)
+    kx, kk, kb = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (b, h, w, cin), jnp.float32)
+    k = jax.random.normal(kk, (3, 3, cin, cout), jnp.float32) * 0.1
+    bias = jax.random.normal(kb, (cout,), jnp.float32)
+    want = conv3x3_on_doubled(x, k, bias)
+    got = fold_upsample_conv_pallas(x, k, bias, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_torchconv_param_tree_unchanged():
     """Param paths/shapes must stay nn.Conv-compatible for checkpoints and
     the torch weight converter (Conv_0/kernel, Conv_0/bias)."""
