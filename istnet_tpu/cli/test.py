@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--mask_label", action="store_true",
                    help="surface parity with the reference test.py:38; the "
                         "reference parses but never reads this flag")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="evaluate a reference-trained torch .pth (or a "
+                        "pre-converted .npz) instead of an Orbax checkpoint — "
+                        "converted on the fly by cli/convert_torch_istnet.py")
     p.add_argument("--device_preprocess", action="store_true",
                    help="run depth completion/crop/sampling/resize ON DEVICE, "
                         "fused with the model forward")
@@ -57,10 +61,18 @@ def main():
         model = ISTNet(nclass=cfg.num_category,
                        freeze_world_enhancer=bool(cfg.get("freeze_world_enhancer", False)),
                        sa_npoints=tuple(cfg.get("sa_npoints", (512, 256, 128, 64))))
-        payload = checkpoints.restore_for_eval(
-            os.path.join(log_dir, "ckpt"), args.test_epoch)
+        if args.torch_checkpoint:
+            from istnet_tpu.cli import convert_torch_istnet as convert
+            if args.torch_checkpoint.endswith(".npz"):
+                payload = convert.load_npz(args.torch_checkpoint)
+            else:
+                payload = convert.convert_file(args.torch_checkpoint, "ist_net")
+            logger.info(f"converted torch checkpoint {args.torch_checkpoint}")
+        else:
+            payload = checkpoints.restore_for_eval(
+                os.path.join(log_dir, "ckpt"), args.test_epoch)
+            logger.info(f"restored epoch {args.test_epoch}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
-        logger.info(f"restored epoch {args.test_epoch}")
 
         if args.device_preprocess:
             from istnet_tpu.data.dataset import REAL_INTRINSICS

@@ -65,9 +65,20 @@ def load_world_enhancer(posenet_ckpt_dir: str, epoch: int,
     The reference only remaps weights (train.py:106-114) — but since torch
     state_dicts carry running stats, its load moves BN stats too; we match by
     remapping both collections.
+
+    ``posenet_ckpt_dir`` may also be a reference-trained torch ``.pth`` (or a
+    pre-converted ``.npz``) — converted via ``cli/convert_torch_istnet``;
+    ``epoch`` is ignored for those.
     """
-    with _mgr(posenet_ckpt_dir) as mgr:
-        payload = mgr.restore(epoch)
+    if posenet_ckpt_dir.endswith(".npz"):
+        from istnet_tpu.cli import convert_torch_istnet as convert
+        payload = convert.load_npz(posenet_ckpt_dir)
+    elif posenet_ckpt_dir.endswith((".pth", ".pt")):
+        from istnet_tpu.cli import convert_torch_istnet as convert
+        payload = convert.convert_file(posenet_ckpt_dir, "posenet_gt")
+    else:
+        with _mgr(posenet_ckpt_dir) as mgr:
+            payload = mgr.restore(epoch)
     src_params = payload["params"]["pts_gt_extractor"]
     src_stats = payload["batch_stats"]["pts_gt_extractor"]
 

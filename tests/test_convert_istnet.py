@@ -1,0 +1,322 @@
+"""Full-model torch->flax checkpoint conversion: coverage + numeric parity.
+
+Two layers of proof for ``cli/convert_torch_istnet.py``:
+
+1. Manifest coverage: every key of the reference's ``state_dict`` (fixture
+   ``tests/data/ref_torch_keys.json``, extracted from an instantiated
+   reference model) must map onto exactly the flax variable tree our models
+   create (fixture ``tests/data/flax_tree_manifest.json``), shape-for-shape,
+   with no leftovers in either direction.
+
+2. Numeric parity against REAL torch forwards for every pure-torch submodule
+   family (encoder, heavy/light estimators, feature deformer): a randomized
+   reference module's output must match our flax module's output under the
+   converted weights. (The pointnet extractors can't run in torch here — their
+   CUDA ops aren't built — but their SharedMLP conversion convention is the
+   same Conv2d-1x1/BN mapping the encoder tests pin, and the op semantics are
+   covered by the golden kernel tests.)
+
+The parity tests import modules from ``/root/reference`` (read-only) and are
+skipped when the reference checkout is absent.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from istnet_tpu.cli import convert_torch_istnet as C
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+REF = "/root/reference"
+
+with open(os.path.join(DATA, "ref_torch_keys.json")) as f:
+    TORCH_MANIFEST = json.load(f)
+with open(os.path.join(DATA, "flax_tree_manifest.json")) as f:
+    FLAX_MANIFEST = json.load(f)
+
+
+def _random_sd(model: str, seed: int = 0) -> dict:
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for k, shape in TORCH_MANIFEST[model].items():
+        if k.endswith("num_batches_tracked"):
+            sd[k] = np.asarray(0, np.int64)
+        elif k.endswith("running_var"):
+            sd[k] = rng.uniform(0.5, 1.5, shape).astype(np.float32)
+        else:
+            sd[k] = rng.randn(*shape).astype(np.float32) * 0.1
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# 1. manifest coverage
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model", ["ist_net", "posenet_gt"])
+def test_conversion_covers_exact_flax_tree(model):
+    trees = C.convert_state_dict(_random_sd(model), model)
+    for coll in ("params", "batch_stats"):
+        got = {p: list(v.shape) for p, v in C._flatten(trees[coll]).items()}
+        exp = FLAX_MANIFEST[model][coll]
+        assert got == exp, (
+            f"missing={sorted(set(exp) - set(got))[:5]} "
+            f"extra={sorted(set(got) - set(exp))[:5]}")
+
+
+def test_freeze_checkpoint_without_pose_estimator():
+    """freeze_world_enhancer checkpoints ship no world pose head
+    (reference train.py:103-118); conversion must succeed without it."""
+    sd = {k: v for k, v in _random_sd("ist_net").items()
+          if not k.startswith("world_enhancer.pose_estimator.")}
+    trees = C.convert_state_dict(sd, "ist_net")
+    assert "pose_estimator" not in trees["params"]["world_enhancer"]
+    assert "extractor" in trees["params"]["world_enhancer"]
+
+
+def test_missing_key_raises():
+    sd = _random_sd("ist_net")
+    del sd["main_estimator.pose_mlp2.0.weight"]
+    with pytest.raises(C.ConversionError, match="missing torch key"):
+        C.convert_state_dict(sd, "ist_net")
+
+
+def test_unmapped_key_raises():
+    sd = _random_sd("ist_net")
+    sd["mystery.layer.weight"] = np.zeros((3,), np.float32)
+    with pytest.raises(C.ConversionError, match="not mapped"):
+        C.convert_state_dict(sd, "ist_net")
+
+
+def test_npz_roundtrip(tmp_path):
+    trees = C.convert_state_dict(_random_sd("posenet_gt", seed=3), "posenet_gt")
+    path = str(tmp_path / "conv.npz")
+    C.save_npz(trees, path)
+    back = C.load_npz(path)
+    flat_a, flat_b = C._flatten(trees["params"]), C._flatten(back["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_world_enhancer_transplant_from_torch(tmp_path):
+    """A converted PoseNetGT checkpoint feeds the two-phase transplant like a
+    native phase-1 checkpoint (reference train.py:103-118)."""
+    from istnet_tpu.train.checkpoints import load_world_enhancer
+
+    trees = C.convert_state_dict(_random_sd("posenet_gt", seed=9), "posenet_gt")
+    path = str(tmp_path / "posenet_gt.npz")
+    C.save_npz(trees, path)
+    params = {"world_enhancer": {"extractor": None}, "other": {"x": np.zeros(2)}}
+    stats = {"world_enhancer": {"extractor": None}}
+    new_p, new_s = load_world_enhancer(path, 0, params, stats)
+    got = C._flatten(new_p["world_enhancer"]["extractor"])
+    exp = C._flatten(trees["params"]["pts_gt_extractor"])
+    assert set(got) == set(exp)
+    for k in exp:
+        np.testing.assert_array_equal(got[k], exp[k])
+    assert set(C._flatten(new_s["world_enhancer"]["extractor"])) == set(
+        C._flatten(trees["batch_stats"]["pts_gt_extractor"]))
+
+
+def test_converted_full_model_runs_eval_forward():
+    """The converted tree must load into the real ISTNet and produce finite
+    eval outputs (catches any structural drift the manifests could miss)."""
+    import jax.numpy as jnp
+
+    from istnet_tpu.models.ist_net import ISTNet
+
+    trees = C.convert_state_dict(_random_sd("ist_net", seed=7), "ist_net")
+    b, n, img = 1, 32, 96
+    rng = np.random.RandomState(5)
+    inputs = {
+        "rgb": jnp.asarray(rng.randn(b, img, img, 3), jnp.float32),
+        "pts": jnp.asarray(rng.randn(b, n, 3) * 0.1, jnp.float32),
+        "choose": jnp.asarray(rng.randint(0, img * img, (b, n)), jnp.int32),
+        "category_label": jnp.asarray([3], jnp.int32),
+    }
+    out = ISTNet(sa_npoints=(16, 8, 8, 8)).apply(
+        {"params": trees["params"], "batch_stats": trees["batch_stats"]},
+        inputs, train=False)
+    for key in ("pred_rotation", "pred_translation", "pred_size", "pred_qo"):
+        assert np.all(np.isfinite(np.asarray(out[key]))), key
+
+
+# ---------------------------------------------------------------------------
+# 2. numeric parity vs real torch forwards
+# ---------------------------------------------------------------------------
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "model")),
+    reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's pure-torch modules (CUDA ext stubbed out —
+    none of the modules under test call it)."""
+    for p in (REF, os.path.join(REF, "model"), os.path.join(REF, "utils"),
+              os.path.join(REF, "model", "pointnet2")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    if "pointnet2._ext" not in sys.modules:
+        sys.modules["pointnet2._ext"] = types.ModuleType("pointnet2._ext")
+        pkg = types.ModuleType("pointnet2")
+        pkg.__path__ = [os.path.join(REF, "model", "pointnet2")]
+        sys.modules["pointnet2"] = pkg
+    import torch
+    # the reference's normalize_vector hard-codes .cuda()
+    # (utils/rotation_utils.py:6); torch is CPU-only here
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import modules as ref_modules  # noqa: F401  (reference model/modules.py)
+    import ist_net as ref_ist_net  # noqa: F401  (reference model/ist_net.py)
+    return types.SimpleNamespace(modules=ref_modules, ist_net=ref_ist_net)
+
+
+def _randomize(torch, module, seed):
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+        for name, b in module.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=gen) + 0.5)
+            elif name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=gen) * 0.1)
+
+
+def _np_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@needs_reference
+def test_heavy_estimator_parity(ref):
+    import torch
+
+    from istnet_tpu.nn.estimators import HeavyEstimator
+
+    m = ref.ist_net.HeavyEstimator()
+    _randomize(torch, m, 11)
+    m.eval()
+    b, n = 2, 64
+    rng = np.random.RandomState(1)
+    pts = rng.randn(b, n, 3).astype(np.float32)
+    pts_w = rng.randn(b, n, 3).astype(np.float32)
+    rgb_local = rng.randn(b, 128, n).astype(np.float32)
+    pts_local = rng.randn(b, 128, n).astype(np.float32)
+    pts_w_local = rng.randn(b, 128, n).astype(np.float32)
+
+    with torch.no_grad():
+        r_t, t_t, s_t = m(torch.from_numpy(pts), torch.from_numpy(pts_w),
+                          torch.from_numpy(rgb_local), torch.from_numpy(pts_local),
+                          torch.from_numpy(pts_w_local))
+
+    sd = C._SD({"est." + k: v for k, v in _np_sd(m).items()})
+    params = C._heavy_estimator(sd, "est")
+    assert not sd.leftovers()
+    r_j, t_j, s_j = HeavyEstimator().apply(
+        {"params": params}, pts, pts_w,
+        np.transpose(rgb_local, (0, 2, 1)), np.transpose(pts_local, (0, 2, 1)),
+        np.transpose(pts_w_local, (0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(r_j), r_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_j), t_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_j), s_t.numpy(), atol=2e-5)
+
+
+@needs_reference
+def test_light_estimator_parity(ref):
+    import torch
+
+    from istnet_tpu.nn.estimators import LightEstimator
+
+    m = ref.ist_net.LightEstimator()
+    _randomize(torch, m, 12)
+    m.eval()
+    b, n = 2, 64
+    rng = np.random.RandomState(2)
+    pts = rng.randn(b, n, 3).astype(np.float32)
+    rgb_local = rng.randn(b, 128, n).astype(np.float32)
+    pts_local = rng.randn(b, 128, n).astype(np.float32)
+    with torch.no_grad():
+        r_t, t_t, s_t = m(torch.from_numpy(pts), torch.from_numpy(rgb_local),
+                          torch.from_numpy(pts_local))
+    sd = C._SD({"est." + k: v for k, v in _np_sd(m).items()})
+    params = C._light_estimator(sd, "est")
+    assert not sd.leftovers()
+    r_j, t_j, s_j = LightEstimator().apply(
+        {"params": params}, pts,
+        np.transpose(rgb_local, (0, 2, 1)), np.transpose(pts_local, (0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(r_j), r_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_j), t_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_j), s_t.numpy(), atol=2e-5)
+
+
+@needs_reference
+def test_feature_deformer_parity(ref):
+    import torch
+
+    from istnet_tpu.nn.estimators import ImplicitTransformation
+
+    m = ref.ist_net.ImplicitTransformation(nclass=6)
+    _randomize(torch, m, 13)
+    m.eval()
+    b, n = 2, 64
+    rng = np.random.RandomState(3)
+    pts = rng.randn(b, n, 3).astype(np.float32)
+    rgb_local = rng.randn(b, 128, n).astype(np.float32)
+    pts_local = rng.randn(b, 128, n).astype(np.float32)
+    cls = np.array([2, 5], np.int64)
+    # the reference caller's flat class index (ist_net.py:47-52):
+    index = torch.from_numpy((cls + np.arange(b) * 6).astype(np.int64))
+    with torch.no_grad():
+        pts_w_t, pts_local_w_t = m(torch.from_numpy(rgb_local),
+                                   torch.from_numpy(pts_local),
+                                   torch.from_numpy(pts), None, index)
+    sd = C._SD({"it." + k: v for k, v in _np_sd(m).items()})
+    params = C._deformer(sd, "it")
+    assert not sd.leftovers()
+    pts_w_j, pts_local_w_j = ImplicitTransformation(nclass=6).apply(
+        {"params": params},
+        np.transpose(rgb_local, (0, 2, 1)), np.transpose(pts_local, (0, 2, 1)),
+        pts, cls.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(pts_w_j), pts_w_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pts_local_w_j),
+                               np.transpose(pts_local_w_t.numpy(), (0, 2, 1)),
+                               atol=2e-5)
+
+
+@needs_reference
+def test_encoder_parity(ref):
+    """Modified_PSPNet forward vs our ModifiedResnet under converted weights.
+
+    96x96 input (PSP grid 12 divides 1/2/3/6 like the production 24) keeps the
+    single-core CPU run fast while exercising trunk, PSP, upsamples, PReLUs,
+    and all BN running stats.
+    """
+    import torch
+
+    from istnet_tpu.nn.resnet_psp import ModifiedResnet
+
+    m = ref.modules.Modified_PSPNet(sizes=(1, 2, 3, 6), psp_size=512,
+                                    backend="resnet18", pretrained=False)
+    _randomize(torch, m, 14)
+    m.eval()
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 3, 96, 96).astype(np.float32)
+    with torch.no_grad():
+        y_t = m(torch.from_numpy(x)).numpy()  # (B, 128, 96, 96)
+
+    np_sd = {"enc.model." + k: v.detach().numpy() for k, v in m.state_dict().items()}
+    sd = C._SD(np_sd)
+    params, stats = C._encoder(sd, "enc")
+    sd.drop_matching(r"num_batches_tracked$")
+    assert not sd.leftovers()
+
+    y_j = ModifiedResnet().apply(
+        {"params": params, "batch_stats": stats},
+        np.transpose(x, (0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+                               y_t, atol=5e-4)
