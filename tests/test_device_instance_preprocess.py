@@ -137,3 +137,29 @@ def test_searchsorted_blocked_matches_jnp():
         got = _searchsorted_blocked(intra, block_end, targets, n=n)
         want = jnp.searchsorted(cdf, targets, side="left").astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_chunked_preprocess_is_bit_identical():
+    """The memory-bound chunked path (vmap within chunks, lax.map across —
+    prevents XLA's per-instance serialization at large B) must produce
+    exactly the full-vmap outputs."""
+    rng = np.random.RandomState(7)
+    rgbs, depths, masks, boxes = [], [], [], []
+    for _ in range(8):
+        rgb, depth, mask, bbox = _scene(rng)
+        rgbs.append(rgb); depths.append(depth); masks.append(mask); boxes.append(bbox)
+    args = (jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(depths)),
+            jnp.asarray(np.stack(masks)),
+            jnp.asarray(np.array(boxes, np.int32)),
+            jnp.asarray(INTR, jnp.float32), jax.random.PRNGKey(3))
+    kw = dict(img_size=96, sample_num=128)
+    full = preprocess_instances_tpu(*args, **kw, chunk=8)
+    chunked = preprocess_instances_tpu(*args, **kw, chunk=2)
+    # sampling indices and gathered points are exact; the resized rgb goes
+    # through float resize matmuls whose accumulation order depends on the
+    # batch shape — allclose there
+    for k in ("pts", "choose", "n_valid"):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(chunked[k]),
+                                      err_msg=k)
+    np.testing.assert_allclose(np.asarray(full["rgb"]), np.asarray(chunked["rgb"]),
+                               atol=1e-3)
