@@ -345,6 +345,167 @@ def ball_query_group_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     return [o.reshape(b, m, ns, c) for o, ns in zip(out, nsamples)]
 
 
+# --- transposed-layout variant ----------------------------------------------
+# Same math as _bq_group_kernel with every (TM, N) plane transposed to
+# (N, TM): the per-slot one-hot dot becomes (C+2ec, N) @ (N, TM), so the tiny
+# grouped-channel width (9 at stage-1's C=3) pads to the 8/16-row SUBLANE
+# tile instead of the 128-lane tile — ~8x less padded MXU work per slot.
+# Profitable exactly when C is small (the one-hot dot dominates); dispatch
+# picks it for C + 2*exact_c <= 16.
+
+def make_tri_lower(n: int):
+    """(N, N) int8 lower-triangular ones: cs_t = tri_l @ hit_t is the
+    inclusive prefix sum along SUBLANES. None for large N (VMEM)."""
+    if n > 1024:
+        return None
+    r_ = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_ = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r_ >= c_).astype(jnp.int8)
+
+
+def sublane_cumsum(hit, sub, tri_l, n: int):
+    """Inclusive prefix sum of (N, TM) boolean mask along sublanes, int32."""
+    if tri_l is not None:
+        return lax.dot_general(tri_l, hit.astype(jnp.int8),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    cs = hit.astype(jnp.int32)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(cs, shift, axis=0)
+        cs = cs + jnp.where(sub >= shift, rolled, 0)
+        shift *= 2
+    return cs
+
+
+def split_exact_t(vals_t, exact_c: int):
+    """``split_exact`` for (C, N) row-major values -> (C + 2*exact_c, N)."""
+    v_hi = vals_t.astype(jnp.bfloat16)
+    if not exact_c:
+        return v_hi
+    head = vals_t[:exact_c, :]
+    r1 = head - head.astype(jnp.bfloat16).astype(jnp.float32)
+    v_mid = r1.astype(jnp.bfloat16)
+    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([v_hi, v_mid, v_lo], axis=0)
+
+
+def rank_domain_t(cs, hit, n: int):
+    """``rank_domain`` for (N, TM) planes: cnt/no_hit are (1, TM)."""
+    cnt = cs[n - 1:n, :]
+    csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
+    return csm, cnt, cnt == 0
+
+
+def recombine_exact_t(g3, c: int, exact_c: int):
+    """``recombine_exact`` on rows: (C + 2*exact_c, TM) -> (C, TM)."""
+    g = g3[:c, :]
+    if not exact_c:
+        return g
+    fix = g3[c:c + exact_c, :] + g3[c + exact_c:c + 2 * exact_c, :]
+    if exact_c == c:
+        return g + fix
+    return jnp.concatenate([g[:exact_c, :] + fix, g[exact_c:, :]], axis=0)
+
+
+def _bq_group_kernel_t(new_xyz_t_ref, xyz_ref, vals_t_ref, *out_refs,
+                       radii: tuple, nsamples: tuple, sub_xyz: int,
+                       exact_c: int):
+    """Transposed twin of ``_bq_group_kernel`` — bit-identical outputs
+    (one-hot x bf16-split dots are exact on either side; pinned by
+    tests/test_pallas_kernels.py)."""
+    out_dtype = out_refs[0].dtype
+    tm = new_xyz_t_ref.shape[2]
+    n = xyz_ref.shape[1]
+    c = vals_t_ref.shape[1]
+    at = new_xyz_t_ref[0]          # (3, TM)
+    b_ = xyz_ref[0]                # (N, 3)
+    vals_t = vals_t_ref[0]         # (C, N)
+
+    an = jnp.sum(at * at, axis=0, keepdims=True)                  # (1, TM)
+    bn = jnp.sum(b_ * b_, axis=1, keepdims=True)                  # (N, 1)
+    ab = lax.dot_general(b_, at, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)         # (N, TM)
+    d2 = bn + an - 2.0 * ab
+
+    sub = lax.broadcasted_iota(jnp.int32, (n, tm), 0)
+    tri_l = make_tri_lower(n)
+    v3t = split_exact_t(vals_t, exact_c)                          # (C+2ec, N)
+    vals0 = vals_t[:, 0:1]                                        # (C, 1)
+
+    if sub_xyz:
+        row = lax.broadcasted_iota(jnp.int32, (c, tm), 0)
+        cen = jnp.concatenate(
+            [at, jnp.zeros((c - 3, tm), jnp.float32)], axis=0) if c > 3 else at
+        cen = jnp.where(row < 3, cen, 0.0)
+
+    for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
+        hit = d2 < jnp.float32(radius) ** 2
+        cs = sublane_cumsum(hit, sub, tri_l, n)
+        csm, cnt, no_hit = rank_domain_t(cs, hit, n)
+        for s in range(nsample):
+            oh = slot_onehot(csm, cnt, s)                         # (N, TM)
+            g3 = jnp.dot(v3t, oh, preferred_element_type=jnp.float32)
+            g = recombine_exact_t(g3, c, exact_c)                 # (C, TM)
+            g = jnp.where(no_hit, vals0, g)
+            if sub_xyz:
+                g = g - cen
+            out_ref[0, s * c:(s + 1) * c, :] = g.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+def ball_query_group_pallas_t(radii: tuple, nsamples: tuple, xyz: Array,
+                              new_xyz: Array, features: Array | None = None,
+                              use_xyz: bool = True,
+                              interpret: bool = False,
+                              out_dtype=jnp.float32) -> list:
+    """Transposed-layout fused query+group — same contract as
+    ``ball_query_group_pallas``; kernel emits slot-major (B, ns*C, M) blocks
+    and the cheap (B, ns*C, M) -> (B, M, ns*C) transpose runs in XLA."""
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    feats_exact = features is not None and features.dtype == jnp.bfloat16
+    if features is None:
+        vals = xyz
+        exact_c = 3
+    elif use_xyz:
+        vals = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+        exact_c = 3 if feats_exact else vals.shape[-1]
+    else:
+        vals = features.astype(jnp.float32)
+        exact_c = 0 if feats_exact else vals.shape[-1]
+    c = vals.shape[-1]
+    sub_xyz = 1 if (features is None or use_xyz) else 0
+
+    tm = bqg_tile(m, n, c, nsamples)
+    if m % tm or n % 128:
+        raise ValueError(f"ball_query_group_pallas_t needs M%{tm}==0 and "
+                         f"N%128==0, got M={m} N={n}")
+    new_xyz_t = jnp.swapaxes(new_xyz.astype(jnp.float32), 1, 2)   # (B, 3, M)
+    vals_t = jnp.swapaxes(vals, 1, 2)                             # (B, C, N)
+    grid = (b, m // tm)
+    out = pl.pallas_call(
+        functools.partial(_bq_group_kernel_t, radii=tuple(radii),
+                          nsamples=tuple(nsamples), sub_xyz=sub_xyz,
+                          exact_c=exact_c),
+        out_shape=[jax.ShapeDtypeStruct((b, ns * c, m), out_dtype)
+                   for ns in nsamples],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tm), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, ns * c, tm), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM) for ns in nsamples],
+        interpret=interpret,
+    )(new_xyz_t, xyz, vals_t)
+    return [jnp.swapaxes(o, 1, 2).reshape(b, m, ns, c)
+            for o, ns in zip(out, nsamples)]
+
+
 # --- differentiable wrapper --------------------------------------------------
 # The reference's group_points/QueryAndGroup is differentiable in the grouped
 # values (scatter-add backward via atomicAdd, group_points_gpu.cu:45-80); the
@@ -359,10 +520,14 @@ def ball_query_group(radii: tuple, nsamples: tuple, use_xyz: bool,
                      interpret: bool,
                      xyz: Array, new_xyz: Array, features: Array | None,
                      out_dtype=jnp.float32):
-    return tuple(ball_query_group_pallas(radii, nsamples, xyz, new_xyz,
-                                         features, use_xyz,
-                                         interpret=interpret,
-                                         out_dtype=out_dtype))
+    # transposed layout is the production kernel: bit-identical outputs and
+    # faster at every SA stage shape (hardware A/B, B=24 per-stage: 4.17 ->
+    # 3.75, 3.42 -> 3.03, 3.25 -> 2.86, 3.93 -> 2.92 ms; B=128 stage-1:
+    # 10.0 -> 8.33 ms) — the slot dot's pad-to-128-lanes was the cost
+    return tuple(ball_query_group_pallas_t(radii, nsamples, xyz, new_xyz,
+                                           features, use_xyz,
+                                           interpret=interpret,
+                                           out_dtype=out_dtype))
 
 
 def _bqg_fwd(radii, nsamples, use_xyz, interpret, xyz, new_xyz, features,

@@ -222,3 +222,26 @@ def test_fp_interpolate_vjp_feats_only():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(gu), 0.0)
     np.testing.assert_array_equal(np.asarray(gk), 0.0)
+
+
+def test_ball_query_group_pallas_t_bit_matches_direct():
+    """The transposed-layout kernel (production path) is bit-identical to the
+    direct-layout kernel across feature/use_xyz variants."""
+    import jax.numpy as jnp
+    from istnet_tpu.ops.ball_query_pallas import (ball_query_group_pallas,
+                                                  ball_query_group_pallas_t)
+
+    rng = np.random.RandomState(3)
+    b, n, m = 2, 256, 128
+    xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+    cent = jnp.asarray(rng.rand(b, m, 3).astype(np.float32))
+    for cf, use_xyz, dt in [(None, True, jnp.float32), (16, True, jnp.bfloat16),
+                            (16, False, jnp.float32)]:
+        feats = None if cf is None else jnp.asarray(
+            rng.randn(b, n, cf).astype(np.float32)).astype(jnp.bfloat16)
+        want = ball_query_group_pallas((0.15, 0.3), (4, 8), xyz, cent, feats,
+                                       use_xyz, interpret=True, out_dtype=dt)
+        got = ball_query_group_pallas_t((0.15, 0.3), (4, 8), xyz, cent, feats,
+                                        use_xyz, interpret=True, out_dtype=dt)
+        for a, c in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
