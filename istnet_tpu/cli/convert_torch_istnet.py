@@ -336,18 +336,139 @@ def load_npz(path: str) -> dict:
             "batch_stats": data["batch_stats"].item()}
 
 
+# --- reverse direction: flax trees -> torch state_dict -----------------------
+# Lets TPU-trained checkpoints run in the reference's own torch eval stack
+# (and round-trips as a second proof of the mapping). Implemented as the
+# exact inverse of the forward tables: convert an "address book" state dict
+# whose leaves are key names, then invert the resulting tree.
+
+def export_state_dict(trees: dict, model: str = "ist_net") -> dict:
+    """``{"params": …, "batch_stats": …}`` -> torch-layout numpy state dict.
+
+    Inverse of :func:`convert_state_dict` (same module tables — the forward
+    converter is run once on a shape template to recover the key
+    correspondence, so the two directions cannot drift apart).
+    ``num_batches_tracked`` buffers are emitted as 0 (torch only reads them
+    for momentum=None averaging, which the reference never uses). SharedMLP
+    dense biases (absent in torch, zero by convention) are validated zero.
+    """
+    import json
+    import os
+
+    man_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tests", "data",
+        "ref_torch_keys.json")
+    with open(man_path) as f:
+        manifest = json.load(f)[model]
+
+    present = {k: s for k, s in manifest.items()
+               if _key_present(k, model, trees)}
+
+    # leaf-position correspondence: re-run the converter with each torch
+    # tensor replaced by a unique id; the id landing at a flax leaf tells us
+    # its source key. Layout transforms are then inverted per leaf kind.
+    ids = {}
+    id_sd = {}
+    for i, (k, shape) in enumerate(sorted(present.items())):
+        ids[float(i + 1)] = k
+        id_sd[k] = np.full(shape, i + 1, np.float32)
+    id_trees = convert_state_dict(id_sd, model)
+
+    out: dict[str, np.ndarray] = {}
+    pending_bias: dict[str, np.ndarray] = {}  # batch_stats path -> bias
+    for coll in ("params", "batch_stats"):
+        id_flat = _flatten(id_trees[coll])
+        have = _flatten(trees[coll])
+        for path, idval in id_flat.items():
+            val = np.asarray(have[path], np.float32)
+            uid = float(np.ravel(idval)[0])
+            if uid == 0.0:
+                # SharedMLP dense bias: torch's conv is bias-free (BN absorbs
+                # it). A natively-trained nonzero bias folds EXACTLY into the
+                # BN running mean at eval: BN(y + b) == BN'(y) with
+                # mean' = mean - b.
+                bn_path = re.sub(r"TorchDense_(\d+)/Dense_0/bias$",
+                                 r"BatchNorm_\1/mean", path)
+                if bn_path == path:
+                    raise ConversionError(
+                        f"{path} has no torch counterpart and no BN to fold into")
+                pending_bias[bn_path] = val
+                continue
+            key = ids[uid]
+            shape = tuple(manifest[key])
+            out[key] = _untransform(val, shape, key, path)
+    id_stats = _flatten(id_trees["batch_stats"])
+    for bn_path, bias in pending_bias.items():
+        key = ids[float(np.ravel(id_stats[bn_path])[0])]
+        out[key] = out[key] - bias
+    for k, shape in present.items():
+        if k.endswith("num_batches_tracked"):
+            out[k] = np.zeros(shape, np.int64)
+        elif re.search(r"\.feats\.fc\.(weight|bias)$", k):
+            # the reference trunk's fc is dead weight (resnet.py forward
+            # returns features only; its fc call is commented out) — the flax
+            # side carries nothing; emit zeros so strict torch loads succeed
+            out[k] = np.zeros(shape, np.float32)
+    missing = [k for k in present if k not in out]
+    if missing:
+        raise ConversionError(f"export missed {len(missing)} keys: {missing[:5]}")
+    return out
+
+
+def _key_present(key: str, model: str, trees: dict) -> bool:
+    """freeze checkpoints carry no world pose head."""
+    if model == "ist_net" and key.startswith("world_enhancer.pose_estimator."):
+        return "pose_estimator" in trees["params"].get("world_enhancer", {})
+    return True
+
+
+def _untransform(val: np.ndarray, torch_shape: tuple, key: str,
+                 flax_path: str) -> np.ndarray:
+    """Invert the layout transform that produced this flax leaf (keyed on
+    the TORCH rank — shape equality is ambiguous for square matrices)."""
+    if len(torch_shape) <= 1:  # BN vectors, biases, PReLU
+        out = val
+    elif len(torch_shape) == 2:  # linear: (I, O) -> (O, I)
+        out = np.transpose(val, (1, 0))
+    elif len(torch_shape) == 3:  # conv1d: (I, O) -> (O, I, 1)
+        out = np.transpose(val, (1, 0))[:, :, None]
+    elif val.ndim == 2:          # dense from 1x1 conv2d: (I, O) -> (O, I, 1, 1)
+        out = np.transpose(val, (1, 0))[:, :, None, None]
+    else:                        # conv2d kernel HWIO -> OIHW
+        out = np.transpose(val, (3, 2, 0, 1))
+    if out.shape != torch_shape:
+        raise ConversionError(f"cannot invert {flax_path} -> {key}: "
+                              f"{val.shape} vs {torch_shape}")
+    return out
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
-    p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--torch_ckpt", default=None,
+                   help="torch .pth to convert INTO flax trees")
+    p.add_argument("--export_npz", default=None,
+                   help="converted .npz (or checkpoint payload) to export "
+                        "BACK to a torch state_dict .pth")
     p.add_argument("--model", default="ist_net",
                    choices=["ist_net", "posenet_gt"])
     p.add_argument("--out", default=None)
     args = p.parse_args()
-    trees = convert_file(args.torch_ckpt, args.model)
-    out = args.out or args.torch_ckpt.rsplit(".", 1)[0] + "_tpu.npz"
-    save_npz(trees, out)
-    nleaves = len(_flatten(trees["params"])) + len(_flatten(trees["batch_stats"]))
-    print(f"wrote {out} ({nleaves} leaves)")
+    if (args.torch_ckpt is None) == (args.export_npz is None):
+        p.error("pass exactly one of --torch_ckpt / --export_npz")
+    if args.torch_ckpt:
+        trees = convert_file(args.torch_ckpt, args.model)
+        out = args.out or args.torch_ckpt.rsplit(".", 1)[0] + "_tpu.npz"
+        save_npz(trees, out)
+        nleaves = (len(_flatten(trees["params"]))
+                   + len(_flatten(trees["batch_stats"])))
+        print(f"wrote {out} ({nleaves} leaves)")
+    else:
+        import torch
+        sd = export_state_dict(load_npz(args.export_npz), args.model)
+        out = args.out or args.export_npz.rsplit(".", 1)[0] + "_torch.pth"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, out)
+        print(f"wrote {out} ({len(sd)} tensors)")
 
 
 def _flatten(tree, prefix=""):

@@ -320,3 +320,43 @@ def test_encoder_parity(ref):
         np.transpose(x, (0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
                                y_t, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# 3. reverse direction (flax -> torch export)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model", ["ist_net", "posenet_gt"])
+def test_export_roundtrips_exactly(model):
+    """torch sd -> flax trees -> torch sd is the identity on every mapped
+    tensor (transforms are pure transposes; nothing is lost either way)."""
+    sd = _random_sd(model, seed=21)
+    trees = C.convert_state_dict(sd, model)
+    back = C.export_state_dict(trees, model)
+    assert set(back) == set(sd)
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or ".feats.fc." in k:
+            continue  # nbt is bookkeeping; the trunk fc is dead weight
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
+def test_export_folds_trained_dense_bias_into_bn_mean():
+    """Natively-trained SharedMLP dense biases (absent in torch) fold into
+    the BN running mean: BN(y + b) == BN'(y) with mean' = mean - b."""
+    sd = _random_sd("posenet_gt", seed=22)
+    trees = C.convert_state_dict(sd, "posenet_gt")
+    p = trees["params"]["pts_extractor"]["PointnetSAModuleMSG_0"]["SharedMLP_0"]
+    bias = np.linspace(-1, 1, p["TorchDense_1"]["Dense_0"]["bias"].shape[0],
+                       dtype=np.float32)
+    p["TorchDense_1"]["Dense_0"]["bias"] = bias
+    back = C.export_state_dict(trees, "posenet_gt")
+    key = "pts_extractor.SA_modules.0.mlps.0.layer1.normlayer.bn.running_mean"
+    np.testing.assert_allclose(back[key], sd[key] - bias, atol=1e-6)
+
+
+def test_export_freeze_checkpoint():
+    sd = {k: v for k, v in _random_sd("ist_net", seed=23).items()
+          if not k.startswith("world_enhancer.pose_estimator.")}
+    trees = C.convert_state_dict(sd, "ist_net")
+    back = C.export_state_dict(trees, "ist_net")
+    assert set(back) == set(sd)
