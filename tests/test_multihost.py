@@ -37,7 +37,7 @@ def test_two_process_dp_train_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=850)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
