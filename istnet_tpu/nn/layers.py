@@ -190,13 +190,29 @@ class PReLU(nn.Module):
 
 
 class Dropout2d(nn.Module):
-    """Channel dropout for NHWC maps (torch nn.Dropout2d)."""
+    """Channel dropout for NHWC maps (torch nn.Dropout2d).
+
+    Implemented as a multiply by a pre-scaled (B, 1, 1, C) mask rather than
+    flax nn.Dropout's broadcast-pred ``select``: in the train-step backward,
+    XLA materialized the pred broadcast into the conv-chosen tiled layout at
+    ~11 GB/s (profiled 1.7 ms on a (24, 96, 96, 64) cotangent — the single
+    worst unattributed fusion); the bf16 multiply fuses cleanly in both
+    directions. Same keep probability and zero/scale semantics as torch
+    nn.Dropout2d; the bernoulli draw uses the same 'dropout' RNG collection
+    (the random stream differs from nn.Dropout's, which only permutes which
+    channels drop — dropout carries no golden-value contract).
+    """
 
     rate: float
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2), deterministic=not train)(x)
+        if not train or self.rate == 0.0:
+            return x
+        keep_p = 1.0 - self.rate
+        b, _, _, c = x.shape
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep_p, (b, 1, 1, c))
+        return x * (mask.astype(x.dtype) * jnp.asarray(1.0 / keep_p, x.dtype))
 
 
 # ---------------------------------------------------------------------------
