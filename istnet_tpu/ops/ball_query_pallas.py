@@ -200,6 +200,38 @@ def slot_onehot(csm, cnt, s: int):
     return jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
 
 
+# --- blocked one-hot: rank block x phase decomposition -----------------------
+# The direct per-slot one-hot costs ~4 VPU ops per (plane element, slot)
+# (subtract, square, subtract, max). Decomposing the 0-based rank as
+# idx = BP_PHASES*block + phase lets each slot's one-hot be ONE bf16 multiply
+# of two precomputed indicator planes, amortizing indicator construction over
+# BP_PHASES slots (~2x less per-slot VPU work at nsample=16/32). Pad slots
+# are no longer encoded in the one-hot (the direct form retargeted them at
+# rank 1); callers substitute slot 0's OUTPUT row for slots s with
+# cnt < s+1 — bit-identical, since slot 0 is exactly the first hit.
+
+BP_PHASES = 4  # 4 phase planes: same ~2x VPU win as 8 with half the VMEM
+
+
+def block_phase(cs, hit):
+    """bf16 (block, phase) planes of the 0-based hit ranks: for hit lanes
+    idx = rank-1 = BP_PHASES*block + phase; non-hit lanes get idx 511 whose
+    block (127) matches no slot indicator. Values <= 511/BP_PHASES are exact
+    ints in bf16."""
+    t = jnp.where(hit, cs - 1, 511)
+    return ((t // BP_PHASES).astype(jnp.bfloat16),
+            (t % BP_PHASES).astype(jnp.bfloat16))
+
+
+def bp_indicator(x, v: int):
+    """relu(1 - (x-v)^2): exact {0,1} equality on exact-int bf16 planes (any
+    |d| >= 1 keeps d*d >= 1 after bf16 rounding; same argument as
+    ``slot_onehot``'s arithmetic form, which Mosaic requires over packed-bf16
+    compares)."""
+    d = x - jnp.bfloat16(v)
+    return jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
+
+
 def recombine_exact(g3, c: int, exact_c: int):
     """Sum the hi/mid/lo parts of a one-hot x split-values dot back to the
     exact f32 grouped row: (TM, C + 2*exact_c) -> (TM, C)."""
@@ -220,14 +252,16 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
     For each output slot s the one-hot of the s-th in-radius hit is
     ``hit & (cs == s+1)`` (cs = inclusive cumsum of hit — the hit lane where
     the count reaches s+1 is unique), so the grouped row is ONE (TM, N) @
-    (N, C + 2*exact_c) MXU contraction. Pad slots (s+1 > count) reuse the
-    FIRST hit's one-hot and zero-hit rows are post-filled with point 0 —
-    bit-identical to gathering with the CUDA index semantics
+    (N, C + 2*exact_c) MXU contraction. Pad slots (s+1 > count) take slot
+    0's output row (= the first hit) and zero-hit rows are post-filled with
+    point 0 — bit-identical to gathering with the CUDA index semantics
     (``ball_query_gpu.cu:38-46``).
 
     Per-slot cost engineering (the VPU/VMEM traffic dominates):
-    - hit ranks are clipped into int8 and non-hits masked to 127 ONCE, so
-      each slot costs one int8 compare + one bf16 cast;
+    - the one-hot is the blocked form (``block_phase``/``bp_indicator``):
+      rank block/phase indicator planes are built once per radius and each
+      slot's one-hot is ONE bf16 multiply (in-graph A/B on hardware:
+      eval forward 2514 -> 2590 inf/s @B=128, +4.5% @B=32);
     - the value matrix is split hi/mid/lo into bf16 planes: a bf16 MXU pass
       is EXACT for a one-hot LHS (products are 1.0 x part, f32 accumulation;
       the parts sum back to the exact f32), so one DEFAULT-precision dot
@@ -269,14 +303,24 @@ def _bq_group_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *out_refs,
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
         cs = lane_cumsum(hit, lane, tri, n)
-        csm, cnt, no_hit = rank_domain(cs, hit, n)
+        cnt = cs[:, n - 1:n]
+        no_hit = cnt == 0
+        blk, ph = block_phase(cs, hit)
+        ph_ind = [bp_indicator(ph, v) for v in range(BP_PHASES)]
+        g0 = None
         for s in range(nsample):
-            oh = slot_onehot(csm, cnt, s)                     # pad = 1st hit
+            if s % BP_PHASES == 0:
+                blk_ind = bp_indicator(blk, s // BP_PHASES)
+            oh = blk_ind * ph_ind[s % BP_PHASES]              # (TM, N)
             g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
             g = recombine_exact(g3, c, exact_c)
             g = jnp.where(no_hit, vals0, g)                   # no hit -> point 0
             if sub_xyz:
                 g = g - cen
+            if s == 0:
+                g0 = g
+            else:  # pad slots (cnt < s+1) repeat the first hit = slot 0
+                g = jnp.where(cnt >= s + 1, g, g0)
             # slot-flattened lane layout: a (TM, ns, C) block would pad C up
             # to the 128-lane tile (43x waste at C=3, VMEM-OOM at prod shapes)
             out_ref[0, :, s * c:(s + 1) * c] = g.astype(out_dtype)
@@ -443,14 +487,24 @@ def _bq_group_kernel_t(new_xyz_t_ref, xyz_ref, vals_t_ref, *out_refs,
     for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
         hit = d2 < jnp.float32(radius) ** 2
         cs = sublane_cumsum(hit, sub, tri_l, n)
-        csm, cnt, no_hit = rank_domain_t(cs, hit, n)
+        cnt = cs[n - 1:n, :]
+        no_hit = cnt == 0
+        blk, ph = block_phase(cs, hit)
+        ph_ind = [bp_indicator(ph, v) for v in range(BP_PHASES)]
+        g0 = None
         for s in range(nsample):
-            oh = slot_onehot(csm, cnt, s)                         # (N, TM)
+            if s % BP_PHASES == 0:
+                blk_ind = bp_indicator(blk, s // BP_PHASES)
+            oh = blk_ind * ph_ind[s % BP_PHASES]                  # (N, TM)
             g3 = jnp.dot(v3t, oh, preferred_element_type=jnp.float32)
             g = recombine_exact_t(g3, c, exact_c)                 # (C, TM)
             g = jnp.where(no_hit, vals0, g)
             if sub_xyz:
                 g = g - cen
+            if s == 0:
+                g0 = g
+            else:  # pad slots (cnt < s+1) repeat the first hit = slot 0
+                g = jnp.where(cnt >= s + 1, g, g0)
             out_ref[0, s * c:(s + 1) * c, :] = g.astype(out_dtype)
 
 

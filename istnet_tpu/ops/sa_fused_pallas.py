@@ -29,11 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from istnet_tpu.ops.ball_query_pallas import (
+    BP_PHASES,
+    block_phase,
+    bp_indicator,
     lane_cumsum,
     make_tri,
-    rank_domain,
     recombine_exact,
-    slot_onehot,
     split_exact,
 )
 
@@ -115,13 +116,23 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
                                                 w_refs, b_refs):
         hit = d2 < jnp.float32(radius) ** 2
         cs = lane_cumsum(hit, lane, tri, n)
-        csm, cnt, no_hit = rank_domain(cs, hit, n)
+        cnt = cs[:, n - 1:n]
+        no_hit = cnt == 0
+        blk, ph = block_phase(cs, hit)
+        ph_ind = [bp_indicator(ph, v) for v in range(BP_PHASES)]
+        g0 = None
         for s in range(nsample):
-            oh = slot_onehot(csm, cnt, s)
+            if s % BP_PHASES == 0:
+                blk_ind = bp_indicator(blk, s // BP_PHASES)
+            oh = blk_ind * ph_ind[s % BP_PHASES]
             g3 = jnp.dot(oh, v3, preferred_element_type=jnp.float32)
             g = recombine_exact(g3, c, exact_c)
             g = jnp.where(no_hit, vals0, g)
             g = g - cen                                  # relative xyz
+            if s == 0:
+                g0 = g
+            else:  # pad slots (cnt < s+1) repeat the first hit = slot 0
+                g = jnp.where(cnt >= s + 1, g, g0)
             scratch_ref[s * tm:(s + 1) * tm, :] = g.astype(jnp.bfloat16)
         h = scratch_ref[:nsample * tm, :]                # (ns*TM, C) bf16
         for l in range(nlayers):
