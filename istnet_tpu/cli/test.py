@@ -28,6 +28,14 @@ def parse_args():
     p.add_argument("--device_preprocess", action="store_true",
                    help="run depth completion/crop/sampling/resize ON DEVICE, "
                         "fused with the model forward")
+    p.add_argument("--eval_batch", type=int, default=None,
+                   help="cross-image batched inference at this fixed instance "
+                        "batch (test_func_batched: one compiled shape, full "
+                        "device batches) instead of per-image buckets")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel inference over the first N devices "
+                        "(1-D mesh, instance batch sharded); implies "
+                        "--eval_batch (default 64), which must divide by N")
     p.add_argument("--vis", action="store_true", help="draw detection boxes")
     p.add_argument("--log_dir", default=None)
     return p.parse_args()
@@ -84,13 +92,38 @@ def main():
                                        sample_num=int(cfg.test.sample_num))
             test_func_device(dfwd, dataset, save_path, logger=logger)
         else:
-            @jax.jit
-            def forward(inputs):
-                return model.apply(variables, inputs, train=False)
-
             dataset = TestDataset(cfg.test, args.data_dir)
             logger.info(f"{len(dataset)} test images")
-            test_func(forward, dataset, save_path, logger=logger)
+            if args.devices and args.devices > 1:
+                from istnet_tpu.eval.test_loop import test_func_batched
+                from istnet_tpu.parallel import mesh as pmesh
+                eval_batch = args.eval_batch or 64
+                if eval_batch % args.devices:
+                    raise SystemExit(f"--eval_batch {eval_batch} must divide "
+                                     f"by --devices {args.devices}")
+                m = pmesh.make_mesh(args.devices)
+                fwd = pmesh.jit_eval_forward_dp(
+                    lambda v, inp: model.apply(v, inp, train=False),
+                    variables, m)
+                logger.info(f"DP inference over {args.devices} devices, "
+                            f"batch {eval_batch}")
+                test_func_batched(fwd, dataset, save_path, logger=logger,
+                                  batch_size=eval_batch)
+            elif args.eval_batch:
+                from istnet_tpu.eval.test_loop import test_func_batched
+
+                @jax.jit
+                def forward(inputs):
+                    return model.apply(variables, inputs, train=False)
+
+                test_func_batched(forward, dataset, save_path, logger=logger,
+                                  batch_size=args.eval_batch)
+            else:
+                @jax.jit
+                def forward(inputs):
+                    return model.apply(variables, inputs, train=False)
+
+                test_func(forward, dataset, save_path, logger=logger)
 
         if args.vis:
             from istnet_tpu.data.dataset import REAL_INTRINSICS

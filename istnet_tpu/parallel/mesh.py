@@ -74,6 +74,27 @@ def replicate(mesh: Mesh, tree: PyTree) -> PyTree:
     return jax.tree_util.tree_map(put, tree)
 
 
+def jit_eval_forward_dp(apply_fn, variables: PyTree, mesh: Mesh):
+    """DP-sharded eval forward for serving / test loops.
+
+    The DP equivalent of the reference's DataParallel wrap of the eval model
+    (``test.py:91-92``): variables are replicated onto the mesh ONCE, each
+    instance batch is sharded on its leading axis, outputs stay sharded (the
+    host's ``np.asarray`` gathers lazily). ``apply_fn(variables, inputs) ->
+    end_points``. Returns ``forward(inputs)`` for ``test_func`` /
+    ``test_func_batched``; batch sizes must be divisible by the mesh size.
+    """
+    rep = replicated(mesh)
+    dp = batch_sharding(mesh)
+    vars_r = replicate(mesh, variables)
+    fwd = jax.jit(apply_fn, in_shardings=(rep, dp), out_shardings=dp)
+
+    def forward(inputs):
+        return fwd(vars_r, inputs)
+
+    return forward
+
+
 def jit_train_step_dp(train_step, mesh: Mesh):
     """jit the train step with explicit DP shardings: state/rng replicated,
     batch sharded on its leading axis; outputs replicated."""

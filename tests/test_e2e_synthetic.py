@@ -246,6 +246,55 @@ def test_batched_eval_matches_per_image(synthetic_root, tmp_path):
                 rtol=2e-4, atol=2e-5, err_msg=f"{name}:{k}")
 
 
+def test_batched_eval_dp_over_mesh(synthetic_root, tmp_path):
+    """DP-sharded eval forward (instance batch over a 4-device mesh) writes
+    the same results as the single-device per-image loop — the serving path
+    behind ``cli.test --devices N`` (reference counterpart: the DataParallel
+    wrap in ``test.py:91-92``)."""
+    from istnet_tpu.eval.test_loop import test_func, test_func_batched
+    from istnet_tpu.models.ist_net import ISTNet
+    from istnet_tpu.parallel import mesh as pmesh
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root)
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {"rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+             "pts": jnp.zeros((1, N_PTS, 3)),
+             "choose": jnp.zeros((1, N_PTS), jnp.int32),
+             "category_label": jnp.zeros((1,), jnp.int32),
+             "qo": jnp.zeros((1, N_PTS, 3))}
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    m = pmesh.make_mesh(4)
+    dp_forward = pmesh.jit_eval_forward_dp(
+        lambda v, inp: model.apply(v, inp, train=False), ev, m)
+
+    @jax.jit
+    def forward(inputs):
+        return model.apply(ev, inputs, train=False)
+
+    save_a = str(tmp_path / "single")
+    save_b = str(tmp_path / "dp")
+    test_func(forward, ds, save_a, progress=False, max_bucket=4)
+    # 2 images x 2 instances -> one full batch of 4, sharded 1/device
+    test_func_batched(dp_forward, ds, save_b, progress=False, batch_size=4)
+
+    pkls = sorted(os.listdir(save_a))
+    assert sorted(os.listdir(save_b)) == pkls and len(pkls) == 2
+    for name in pkls:
+        with open(os.path.join(save_a, name), "rb") as f:
+            a = pickle.load(f)
+        with open(os.path.join(save_b, name), "rb") as f:
+            b = pickle.load(f)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float64), np.asarray(b[k], np.float64),
+                rtol=2e-4, atol=2e-5, err_msg=f"{name}:{k}")
+
+
 def test_device_preprocess_test_path(synthetic_root, tmp_path):
     """The fully-device test pipeline produces valid result pkls + metrics."""
     from istnet_tpu.data.dataset import REAL_INTRINSICS
