@@ -51,6 +51,10 @@ class Solver:
         self.writer = MetricWriter(log_dir)
         self.log_dir = log_dir
         self.per_write = int(cfg.get("per_write", 50))
+        # host runs this many steps ahead before draining metrics (per-iter
+        # D2H sync costs ~30 ms through the tunneled backend); bounds
+        # in-flight batch memory to depth * global-batch bytes
+        self.pipeline_depth = int(cfg.get("pipeline_depth", 2))
         self.max_epoch = int(cfg.max_epoch)
         self.iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
         self.start_epoch = start_epoch
@@ -137,7 +141,27 @@ class Solver:
         iters = zip(self.syn_loader, self.real_loader) if self.real_loader else (
             (b, None) for b in self.syn_loader)
         iters = itertools.islice(iters, self.iters_per_epoch)
+        # Pipelined metric drain: materializing metrics right after dispatch
+        # (the reference reads loss.item() per iter, solver.py:104-108) would
+        # force a D2H sync EVERY iteration — through the tunneled TPU backend
+        # that is up to ~30 ms of pure latency per step, and it serializes
+        # host dispatch against device execution. Instead the host runs up to
+        # ``pipeline_depth`` steps ahead and drains the OLDEST step's metrics
+        # (one sync) only when the window is full — classic double buffering:
+        # sync latency overlaps device work, in-flight batches stay bounded.
+        import collections
+        inflight = collections.deque()  # (iter_idx, metrics, t_data, t_disp)
+
+        def drain_one() -> None:
+            i_, metrics_, t_data_, t_disp_ = inflight.popleft()
+            vals = {k: float(v) for k, v in metrics_.items()}  # one sync
+            self.log_buffer.update(
+                {**vals, "T_data": t_data_, "T_dispatch": t_disp_,
+                 "T_iter": (time.time() - self._win_t0) / (i_ + 1 - self._win_i0)})
+
         n_done = 0
+        self._win_t0 = time.time()
+        self._win_i0 = 0
         t_data0 = time.time()
         for i, (syn_np, real_np) in enumerate(iters):
             n_done = i + 1
@@ -151,20 +175,24 @@ class Solver:
             self.rng, sub = jax.random.split(self.rng)
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, batch, sub)
-            loss = float(metrics["loss"])  # forces device sync
-            t_step = time.time() - t0
+            inflight.append((i, metrics, t_data, time.time() - t0))
+            while len(inflight) > self.pipeline_depth:
+                drain_one()
 
-            self.log_buffer.update(
-                {"loss": loss, "T_data": t_data, "T_step": t_step,
-                 **{k: float(v) for k, v in metrics.items() if k != "loss"}})
             if (i + 1) % self.per_write == 0:
+                while inflight:
+                    drain_one()
                 avg = self.log_buffer.average()
                 step = int(jax.device_get(self.state.step))
                 self._log(f"epoch {epoch} iter {i + 1}/{self.iters_per_epoch} "
                           + " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())))
                 self.writer.add_scalars("train/", avg, step)
                 self.log_buffer.clear()
+                self._win_t0 = time.time()
+                self._win_i0 = i + 1
             t_data0 = time.time()
+        while inflight:
+            drain_one()
         if n_done < self.iters_per_epoch and self.logger is not None:
             self.logger.warning(
                 f"epoch {epoch} ran {n_done}/{self.iters_per_epoch} iters — "
