@@ -51,6 +51,31 @@ def assemble_pose(pred_rotation: np.ndarray, pred_translation: np.ndarray,
     return rts, pred_scales
 
 
+class _DrainQueue:
+    """Deferred D2H drain for the inference loops.
+
+    Materializing ``np.asarray(end_points[...])`` right after each forward
+    forces a device sync per image/flush — through the tunneled TPU backend
+    that is ~30 ms of pure latency each, and it serializes host prefetch /
+    pickling against device inference. Instead each loop enqueues a closure
+    that does its own materialize-and-write, and the queue drains the OLDEST
+    one only when more than ``depth`` are in flight (same double buffering
+    as the train Solver's pipelined metric drain)."""
+
+    def __init__(self, depth: int = 2):
+        self.depth = depth
+        self._q: list = []
+
+    def push(self, finish) -> None:
+        self._q.append(finish)
+        while len(self._q) > self.depth:
+            self._q.pop(0)()
+
+    def flush(self) -> None:
+        while self._q:
+            self._q.pop(0)()
+
+
 def _prefetch(dataset, n_workers: int = 2, depth: int = 4):
     """Yield dataset[i] in order with background-thread preprocessing.
 
@@ -124,6 +149,7 @@ def test_func_device(device_forward, dataset, save_path: str, logger=None,
         except Exception:
             pass
 
+    dq = _DrainQueue()
     key = jax.random.PRNGKey(seed)
     for i, data in enumerate(it):
         path = dataset.result_pkl_list[i]
@@ -135,41 +161,54 @@ def test_func_device(device_forward, dataset, save_path: str, logger=None,
             "gt_scales": np.asarray(gt["gt_scales"]),
             "gt_handle_visibility": np.asarray(gt["gt_handle_visibility"]),
         }
+        out = os.path.join(save_path, os.path.basename(path))
         k = data["masks"].shape[0] if "masks" in data else 0
         if data.get("empty", False) or k == 0:
             keep = np.zeros(len(np.asarray(gt["pred_class_ids"])), bool)
-        else:
-            bucket = _bucket(k, max_bucket)
-            masks = data["masks"]
-            bboxes = data["bboxes"]
-            category = data["category_label"]
-            if k < bucket:  # pad with empty masks -> n_valid 0 -> dropped
-                masks = np.concatenate(
-                    [masks, np.zeros((bucket - k,) + masks.shape[1:], bool)])
-                bboxes = np.concatenate(
-                    [bboxes, np.tile(bboxes[-1:], (bucket - k, 1))])
-                category = np.concatenate(
-                    [category, np.zeros(bucket - k, category.dtype)])
-            key, sub = jax.random.split(key)
-            end_points, n_valid = device_forward(
-                data["rgb_full"], data["depth_raw"], masks, bboxes, category, sub)
-            n_valid = np.asarray(n_valid)[:k]
-            keep = n_valid > min_points
-
-        result["pred_class_ids"] = np.asarray(gt["pred_class_ids"])[keep]
-        result["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[keep]
-        result["pred_scores"] = np.asarray(gt["pred_scores"])[keep]
-        if keep.any():
-            r = np.asarray(end_points["pred_rotation"])[:k][keep]
-            t = np.asarray(end_points["pred_translation"])[:k][keep]
-            s = np.asarray(end_points["pred_size"])[:k][keep]
-            result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s)
-        else:
+            result["pred_class_ids"] = np.asarray(gt["pred_class_ids"])[keep]
+            result["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[keep]
+            result["pred_scores"] = np.asarray(gt["pred_scores"])[keep]
             result["pred_RTs"] = np.zeros((0, 4, 4), np.float32)
             result["pred_scales"] = np.zeros((0, 3), np.float32)
+            with open(out, "wb") as f:
+                pickle.dump(result, f)
+            continue
 
-        with open(os.path.join(save_path, os.path.basename(path)), "wb") as f:
-            pickle.dump(result, f)
+        bucket = _bucket(k, max_bucket)
+        masks = data["masks"]
+        bboxes = data["bboxes"]
+        category = data["category_label"]
+        if k < bucket:  # pad with empty masks -> n_valid 0 -> dropped
+            masks = np.concatenate(
+                [masks, np.zeros((bucket - k,) + masks.shape[1:], bool)])
+            bboxes = np.concatenate(
+                [bboxes, np.tile(bboxes[-1:], (bucket - k, 1))])
+            category = np.concatenate(
+                [category, np.zeros(bucket - k, category.dtype)])
+        key, sub = jax.random.split(key)
+        end_points, n_valid = device_forward(
+            data["rgb_full"], data["depth_raw"], masks, bboxes, category, sub)
+        ep = {name: end_points[name] for name in
+              ("pred_rotation", "pred_translation", "pred_size")}
+
+        def finish(result=result, gt=gt, ep=ep, n_valid=n_valid, k=k, out=out):
+            keep = np.asarray(n_valid)[:k] > min_points
+            result["pred_class_ids"] = np.asarray(gt["pred_class_ids"])[keep]
+            result["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[keep]
+            result["pred_scores"] = np.asarray(gt["pred_scores"])[keep]
+            if keep.any():
+                r = np.asarray(ep["pred_rotation"])[:k][keep]
+                t = np.asarray(ep["pred_translation"])[:k][keep]
+                s = np.asarray(ep["pred_size"])[:k][keep]
+                result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s)
+            else:
+                result["pred_RTs"] = np.zeros((0, 4, 4), np.float32)
+                result["pred_scales"] = np.zeros((0, 3), np.float32)
+            with open(out, "wb") as f:
+                pickle.dump(result, f)
+
+        dq.push(finish)
+    dq.flush()
 
 
 def test_func_batched(forward, dataset, save_path: str, logger=None,
@@ -194,6 +233,7 @@ def test_func_batched(forward, dataset, save_path: str, logger=None,
         except Exception:
             pass
 
+    dq = _DrainQueue()
     pending_inputs: list[dict] = []  # one entry per queued instance
     pending_img: list[int] = []      # owning image index per queued instance
     img_state: dict[int, dict] = {}  # image index -> result assembly state
@@ -210,15 +250,21 @@ def test_func_batched(forward, dataset, save_path: str, logger=None,
             for k, v in stacked.items():
                 stacked[k] = np.concatenate([v, np.repeat(v[-1:], reps, axis=0)])
         end_points = forward(stacked)
-        r = np.asarray(end_points["pred_rotation"])[:n_take]
-        t = np.asarray(end_points["pred_translation"])[:n_take]
-        s = np.asarray(end_points["pred_size"])[:n_take]
-        for j, owner in enumerate(owners):
-            img_state[owner]["preds"].append((r[j], t[j], s[j]))
-        for owner in sorted(set(owners)):
-            st = img_state[owner]
-            if len(st["preds"]) == st["n_expected"]:
-                _write(owner)
+        ep = {k: end_points[k] for k in
+              ("pred_rotation", "pred_translation", "pred_size")}
+
+        def finish(ep=ep, owners=owners, n_take=n_take):
+            r = np.asarray(ep["pred_rotation"])[:n_take]
+            t = np.asarray(ep["pred_translation"])[:n_take]
+            s = np.asarray(ep["pred_size"])[:n_take]
+            for j, owner in enumerate(owners):
+                img_state[owner]["preds"].append((r[j], t[j], s[j]))
+            for owner in sorted(set(owners)):
+                st = img_state[owner]
+                if len(st["preds"]) == st["n_expected"]:
+                    _write(owner)
+
+        dq.push(finish)
 
     def _write(owner: int) -> None:
         st = img_state.pop(owner)
@@ -263,6 +309,7 @@ def test_func_batched(forward, dataset, save_path: str, logger=None,
             flush(batch_size)
     if pending_inputs:
         flush(len(pending_inputs))
+    dq.flush()
     assert not img_state, f"unfinished images: {sorted(img_state)}"
 
 
@@ -275,6 +322,7 @@ def test_func(forward, dataset, save_path: str, logger=None,
     numpy/jax arrays (instance-batched). Results feed ``eval.nocs_map.evaluate``.
     """
     os.makedirs(save_path, exist_ok=True)
+    dq = _DrainQueue()
     it = _prefetch(dataset, n_workers=prefetch_workers)
     if progress:
         try:
@@ -298,20 +346,30 @@ def test_func(forward, dataset, save_path: str, logger=None,
         result["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[flag]
         result["pred_scores"] = np.asarray(gt["pred_scores"])[flag]
 
+        out = os.path.join(save_path, os.path.basename(path))
         if data.get("empty", False):
             result["pred_RTs"] = np.zeros((0, 4, 4), np.float32)
             result["pred_scales"] = np.zeros((0, 3), np.float32)
-        else:
-            n = data["pts"].shape[0]
-            bucket = _bucket(n, max_bucket)
-            inputs = pad_instances(
-                {"rgb": data["rgb"], "pts": data["pts"], "choose": data["choose"],
-                 "category_label": data["category_label"]}, bucket)
-            end_points = forward(inputs)
-            r = np.asarray(end_points["pred_rotation"])[:n]
-            t = np.asarray(end_points["pred_translation"])[:n]
-            s = np.asarray(end_points["pred_size"])[:n]
-            result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s)
+            with open(out, "wb") as f:
+                pickle.dump(result, f)
+            continue
 
-        with open(os.path.join(save_path, os.path.basename(path)), "wb") as f:
-            pickle.dump(result, f)
+        n = data["pts"].shape[0]
+        bucket = _bucket(n, max_bucket)
+        inputs = pad_instances(
+            {"rgb": data["rgb"], "pts": data["pts"], "choose": data["choose"],
+             "category_label": data["category_label"]}, bucket)
+        end_points = forward(inputs)
+        ep = {k: end_points[k] for k in
+              ("pred_rotation", "pred_translation", "pred_size")}
+
+        def finish(result=result, ep=ep, n=n, out=out):
+            r = np.asarray(ep["pred_rotation"])[:n]
+            t = np.asarray(ep["pred_translation"])[:n]
+            s = np.asarray(ep["pred_size"])[:n]
+            result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s)
+            with open(out, "wb") as f:
+                pickle.dump(result, f)
+
+        dq.push(finish)
+    dq.flush()
