@@ -63,14 +63,23 @@ def _shift_rows(x: Array, dy: int, mode: str) -> Array:
 
 
 def _shift_cols(x: Array, dx: int, mode: str) -> Array:
-    """Column version of ``_shift_rows`` (static lane slices + concat)."""
+    """Column version of ``_shift_rows``.
+
+    ``neg`` (the full-plane dilation taps) uses a lane roll + masked fill —
+    one rotate + select instead of materializing concat(slice, pad) copies
+    on the lane axis; ``edge``/``reflect`` keep the concat form (only used
+    on narrow chunk halos)."""
     w = x.shape[1]
     if dx == 0:
         return x
     k = abs(dx)
     if mode == "neg":
-        pad = jnp.full((x.shape[0], k), _NEG, x.dtype)
-    elif mode == "edge":
+        lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        rolled = pltpu.roll(x, (-dx) % w, axis=1)
+        if dx > 0:
+            return jnp.where(lane < w - k, rolled, _NEG)
+        return jnp.where(lane >= k, rolled, _NEG)
+    if mode == "edge":
         col = x[:, w - 1:w] if dx > 0 else x[:, 0:1]
         pad = jnp.concatenate([col] * k, axis=1)
     else:  # reflect-101
