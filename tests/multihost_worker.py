@@ -98,6 +98,12 @@ def main() -> None:
     leaf = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
     print(f"MH loss={loss:.10f}", flush=True)
     print(f"MH param_fp={float(np.abs(np.asarray(leaf)).sum()):.10e}", flush=True)
+    # rendezvous BEFORE exiting: jax's atexit distributed.shutdown runs a
+    # short coordination barrier, and per-process post-step skew on this
+    # one-core host (observed under full-suite contention) can exceed it —
+    # one worker then dies with "Shutdown barrier ... 1/2". The explicit
+    # barrier has a generous timeout and collapses the skew to ~0.
+    multihost.barrier("istnet_mh_done")
     print("MH ok", flush=True)
 
 
