@@ -46,6 +46,14 @@ def main():
     import jax
     import numpy as np
 
+    # persistent compile cache: the eval graph costs 1-8 min to build on a
+    # small host; reuse it across process restarts (skip if the embedding
+    # process — e.g. pytest's conftest — already configured one)
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from istnet_tpu.data import TestDataset
     from istnet_tpu.eval.nocs_map import evaluate
     from istnet_tpu.eval.test_loop import test_func
@@ -82,6 +90,10 @@ def main():
             logger.info(f"restored epoch {args.test_epoch}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
+        if args.device_preprocess and (args.eval_batch or args.devices):
+            raise SystemExit("--device_preprocess runs the per-image fused "
+                             "pipeline; --eval_batch/--devices apply only to "
+                             "the host-preprocessed path")
         if args.device_preprocess:
             from istnet_tpu.data.dataset import REAL_INTRINSICS
             from istnet_tpu.eval.test_loop import make_device_forward, test_func_device
@@ -94,35 +106,35 @@ def main():
         else:
             dataset = TestDataset(cfg.test, args.data_dir)
             logger.info(f"{len(dataset)} test images")
-            if args.devices and args.devices > 1:
+
+            @jax.jit
+            def forward(inputs):
+                return model.apply(variables, inputs, train=False)
+
+            n_devices = min(args.devices, jax.device_count()) if args.devices else 0
+            if args.devices and n_devices != args.devices:
+                logger.warning(f"--devices {args.devices} > available "
+                               f"{jax.device_count()}; using {n_devices}")
+            if n_devices >= 1 and (args.devices or 0) >= 1:
+                # --devices N implies batched inference (even N=1)
                 from istnet_tpu.eval.test_loop import test_func_batched
                 from istnet_tpu.parallel import mesh as pmesh
                 eval_batch = args.eval_batch or 64
-                if eval_batch % args.devices:
+                if eval_batch % n_devices:
                     raise SystemExit(f"--eval_batch {eval_batch} must divide "
-                                     f"by --devices {args.devices}")
-                m = pmesh.make_mesh(args.devices)
-                fwd = pmesh.jit_eval_forward_dp(
+                                     f"by the {n_devices} usable devices")
+                fwd = forward if n_devices == 1 else pmesh.jit_eval_forward_dp(
                     lambda v, inp: model.apply(v, inp, train=False),
-                    variables, m)
-                logger.info(f"DP inference over {args.devices} devices, "
+                    variables, pmesh.make_mesh(n_devices))
+                logger.info(f"DP inference over {n_devices} device(s), "
                             f"batch {eval_batch}")
                 test_func_batched(fwd, dataset, save_path, logger=logger,
                                   batch_size=eval_batch)
             elif args.eval_batch:
                 from istnet_tpu.eval.test_loop import test_func_batched
-
-                @jax.jit
-                def forward(inputs):
-                    return model.apply(variables, inputs, train=False)
-
                 test_func_batched(forward, dataset, save_path, logger=logger,
                                   batch_size=args.eval_batch)
             else:
-                @jax.jit
-                def forward(inputs):
-                    return model.apply(variables, inputs, train=False)
-
                 test_func(forward, dataset, save_path, logger=logger)
 
         if args.vis:

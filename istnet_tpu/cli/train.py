@@ -75,6 +75,15 @@ def init_variables(model, cfg, seed: int):
 
 def main():
     args = parse_args()
+
+    # persistent compile cache: the train step costs minutes to build on a
+    # small host; reuse it across process restarts (skip if the embedding
+    # process — e.g. pytest's conftest — already configured one)
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from istnet_tpu.data import DataLoader, TrainingDataset
     from istnet_tpu.nn import precision
     from istnet_tpu.train import checkpoints

@@ -209,6 +209,8 @@ class Dropout2d(nn.Module):
     def __call__(self, x: Array, train: bool) -> Array:
         if not train or self.rate == 0.0:
             return x
+        if self.rate >= 1.0:  # torch/flax zero everything; 1/keep_p would NaN
+            return jnp.zeros_like(x)
         keep_p = 1.0 - self.rate
         b, _, _, c = x.shape
         mask = jax.random.bernoulli(self.make_rng("dropout"), keep_p, (b, 1, 1, c))

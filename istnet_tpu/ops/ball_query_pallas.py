@@ -132,8 +132,9 @@ def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
 
 
 # --- shared kernel pieces ----------------------------------------------------
-# Used by BOTH _bq_group_kernel here and _sa_fused_kernel
-# (sa_fused_pallas.py) so the rank/one-hot/bf16-split formulations cannot
+# make_tri/lane_cumsum, the bf16 split/recombine, and the blocked one-hot
+# (block_phase/bp_indicator) are used by BOTH _bq_group_kernel variants here
+# and _sa_fused_kernel (sa_fused_pallas.py) so the formulations cannot
 # silently diverge; their exactness is pinned by the bit-parity tests in
 # tests/test_pallas_kernels.py and tests/test_sa_fused.py.
 
@@ -180,26 +181,6 @@ def split_exact(vals, exact_c: int):
     return jnp.concatenate([v_hi, v_mid, v_lo], axis=1)
 
 
-def rank_domain(cs, hit, n: int):
-    """(csm, cnt, no_hit): bf16 hit ranks (ints <= 256 exact; non-hit lanes
-    masked to 256, above any slot target <= 48), per-row hit count, and the
-    empty-row mask."""
-    cnt = cs[:, n - 1:n]
-    csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
-    return csm, cnt, cnt == 0
-
-
-def slot_onehot(csm, cnt, s: int):
-    """One-hot (bf16) of the s-th hit lane; pad slots reuse the first hit.
-
-    Equality as relu(1 - d^2): a bf16 compare+select variant was A/B'd on
-    hardware and Mosaic rejects it (packed-bf16 compare vectors) — the
-    arithmetic form is the supported formulation."""
-    tgt = jnp.where(cnt >= s + 1, s + 1, 1).astype(jnp.bfloat16)
-    d = csm - tgt
-    return jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
-
-
 # --- blocked one-hot: rank block x phase decomposition -----------------------
 # The direct per-slot one-hot costs ~4 VPU ops per (plane element, slot)
 # (subtract, square, subtract, max). Decomposing the 0-based rank as
@@ -226,7 +207,7 @@ def block_phase(cs, hit):
 def bp_indicator(x, v: int):
     """relu(1 - (x-v)^2): exact {0,1} equality on exact-int bf16 planes (any
     |d| >= 1 keeps d*d >= 1 after bf16 rounding; same argument as
-    ``slot_onehot``'s arithmetic form, which Mosaic requires over packed-bf16
+    the retired direct slot_onehot form, which Mosaic required over packed-bf16
     compares)."""
     d = x - jnp.bfloat16(v)
     return jnp.maximum(jnp.bfloat16(1) - d * d, jnp.bfloat16(0))
@@ -432,13 +413,6 @@ def split_exact_t(vals_t, exact_c: int):
     v_mid = r1.astype(jnp.bfloat16)
     v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.concatenate([v_hi, v_mid, v_lo], axis=0)
-
-
-def rank_domain_t(cs, hit, n: int):
-    """``rank_domain`` for (N, TM) planes: cnt/no_hit are (1, TM)."""
-    cnt = cs[n - 1:n, :]
-    csm = jnp.where(hit, jnp.minimum(cs, 256), 256).astype(jnp.bfloat16)
-    return csm, cnt, cnt == 0
 
 
 def recombine_exact_t(g3, c: int, exact_c: int):

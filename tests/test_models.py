@@ -181,3 +181,26 @@ def test_sparse_head_equals_dense_gather():
                                           method=ModifiedResnet.sparse_points))(ev, x)
     np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dropout2d_channel_semantics():
+    """Dropout2d (multiply-mask form): whole channels drop together, kept
+    channels scale by 1/keep_p (torch nn.Dropout2d), rate>=1 zeroes instead
+    of NaN-ing (0 * inf), eval mode is the identity."""
+    from istnet_tpu.nn.layers import Dropout2d
+
+    x = jnp.ones((2, 4, 4, 16), jnp.float32)
+    y = np.asarray(Dropout2d(0.5).apply(
+        {}, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)}))
+    # channel-constant: every spatial position in a (b, c) slice agrees
+    assert (y == y[:, :1, :1, :]).all()
+    vals = np.unique(y)
+    assert set(np.round(vals, 5)) <= {0.0, 2.0}  # dropped or scaled by 1/0.5
+    assert 0.0 in vals and 2.0 in vals  # both outcomes occur at rate 0.5
+
+    y1 = np.asarray(Dropout2d(1.0).apply(
+        {}, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)}))
+    assert (y1 == 0).all() and not np.isnan(y1).any()
+
+    y_eval = np.asarray(Dropout2d(0.5).apply({}, x, train=False))
+    np.testing.assert_array_equal(y_eval, np.asarray(x))

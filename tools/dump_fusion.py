@@ -5,7 +5,12 @@ The profiler occasionally shows hot fusions with no tf_op/source metadata
 ``tools/profile_fwd.py --target train`` profiles and prints the requested
 computation so the culprit ops are identifiable.
 
-Usage: python tools/dump_fusion.py fusion.15 [--batch 24] [--context 80]
+Usage: python tools/dump_fusion.py fusion.15 [--batch 24] [--out FILE]
+
+CAVEAT (learned the hard way): runtime kernel names in the profiler trace
+and instruction names in ``compiled.as_text()`` number INDEPENDENTLY — to
+attribute a hot trace kernel, read the trace event's ``long_name`` (see
+``istnet_tpu.utils.profiling.parse_trace`` rows), not this dump alone.
 """
 
 from __future__ import annotations
@@ -68,8 +73,10 @@ def main() -> None:
         f.write(txt)
     print(f"HLO written to {args.out} ({len(txt.splitlines())} lines)")
 
-    # print the fused computation this fusion instruction calls
-    m = re.search(rf'%?{re.escape(args.name)}\b[^\n]*calls=([%\w.\-]+)', txt)
+    # print the fused computation this fusion instruction calls; anchor so
+    # %loop_fusion.15 cannot match a request for fusion.15
+    m = re.search(rf'(?<![\w.]){re.escape(args.name)}\b[^\n]*calls=([%\w.\-]+)',
+                  txt)
     if not m:
         print(f"{args.name}: no instruction found")
         return
