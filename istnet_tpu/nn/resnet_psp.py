@@ -94,8 +94,21 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+# BasicBlock stage depths of the reference's psp_models factory
+# (modules.py:225-231). The reference hardcodes 'resnet18' (modules.py:237);
+# resnet34 is the only other BasicBlock entry. The Bottleneck variants
+# (resnet50/101/152) are defined but never instantiable through
+# Modified_PSPNet's hardcoded backend, so they are not ported.
+RESNET_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+
+
 class ResNet18Trunk(nn.Module):
-    """Stride-8 ResNet-18 trunk returning the 512-ch layer-4 map (resnet.py:182-202)."""
+    """Stride-8 BasicBlock trunk returning the 512-ch layer-4 map
+    (resnet.py:182-202). ``layers`` selects the per-stage block counts —
+    (2,2,2,2) resnet18 (default) or (3,4,6,3) resnet34; the class name stays
+    for checkpoint-path stability."""
+
+    layers: tuple = (2, 2, 2, 2)
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
@@ -104,10 +117,12 @@ class ResNet18Trunk(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        for planes, stride in ((64, 1), (128, 2), (256, 1), (512, 1)):
+        for (planes, stride), n_blocks in zip(
+                ((64, 1), (128, 2), (256, 1), (512, 1)), self.layers):
             needs_ds = stride != 1 or x.shape[-1] != planes
             x = BasicBlock(planes, stride, downsample=needs_ds)(x, train)
-            x = BasicBlock(planes)(x, train)
+            for _ in range(n_blocks - 1):
+                x = BasicBlock(planes)(x, train)
         return x
 
 
@@ -160,8 +175,17 @@ class ModifiedResnet(nn.Module):
       training keeps the dense path so BN batch statistics match the reference.
     """
 
+    backend: str = "resnet18"
+
     def setup(self):
-        self.trunk = ResNet18Trunk(name="ResNet18Trunk_0")
+        if self.backend not in RESNET_LAYERS:
+            raise NotImplementedError(
+                f"backend {self.backend!r}: only the BasicBlock trunks "
+                f"{sorted(RESNET_LAYERS)} are ported — the reference's "
+                "Bottleneck psp_models entries are unreachable dead code "
+                "(modules.py:237 hardcodes 'resnet18')")
+        self.trunk = ResNet18Trunk(layers=RESNET_LAYERS[self.backend],
+                                   name="ResNet18Trunk_0")
         self.psp = PSPModule(name="PSPModule_0")
         self.drop1 = Dropout2d(0.3, name="Dropout2d_0")
         self.up1 = PSPUpsample(256, name="PSPUpsample_0")

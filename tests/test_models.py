@@ -204,3 +204,30 @@ def test_dropout2d_channel_semantics():
 
     y_eval = np.asarray(Dropout2d(0.5).apply({}, x, train=False))
     np.testing.assert_array_equal(y_eval, np.asarray(x))
+
+
+def test_modified_resnet_resnet34_backend():
+    """The psp_models factory's other BasicBlock entry (reference
+    modules.py:225-231; 'resnet18' is the hardcoded default) builds and
+    keeps the encoder contract: (B, S, S, 3) -> (B, S, S, 128)."""
+    from istnet_tpu.nn.resnet_psp import ModifiedResnet
+
+    m = ModifiedResnet(backend="resnet34")
+    x = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    variables = jax.jit(m.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    n18 = len(jax.tree_util.tree_leaves(
+        jax.jit(ModifiedResnet().init, static_argnames="train")(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=True)["params"]))
+    n34 = len(jax.tree_util.tree_leaves(variables["params"]))
+    assert n34 > n18  # 16 vs 8 BasicBlocks
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    out = jax.jit(lambda v, a: m.apply(v, a, train=False))(ev, x)
+    assert out.shape == (1, 48, 48, 128)
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        ModifiedResnet(backend="resnet50").init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False)
