@@ -245,3 +245,40 @@ def test_ball_query_group_pallas_t_bit_matches_direct():
                                         use_xyz, interpret=True, out_dtype=dt)
         for a, c in zip(want, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_ball_query_group_pallas_n2048_hillis_steele_path():
+    """N > 1024 drops the triangular-matmul cumsum for Hillis-Steele rolls
+    (make_tri -> None) — the 2048-pt config's path. Also exercises ranks far
+    above the 48-slot window, where the blocked one-hot's block plane leaves
+    bf16's exact-integer range (>=256 rounds, but every rounded value stays
+    >= 1 away from all slot targets, so indicators are still exactly 0)."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    rng = np.random.RandomState(11)
+    # tight cluster: one centroid sees ~2000 hits -> ranks up to N
+    xyz = np.asarray(rng.randn(1, 2048, 3), np.float32) * 0.02
+    cent = np.zeros((1, 128, 3), np.float32)
+    cent[0, 1:] = rng.randn(127, 3).astype(np.float32) * 0.2
+    got = ball_query_group_pallas((0.5, 0.05), (4, 16), jnp.asarray(xyz),
+                                  jnp.asarray(cent), interpret=True)
+    want = xla_ops.ball_query_group((0.5, 0.05), (4, 16), jnp.asarray(xyz),
+                                    jnp.asarray(cent))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_ball_query_group_pallas_t_n2048_matches_normal_layout():
+    """Transposed production kernel at N=2048 (sublane Hillis-Steele) is
+    bit-identical to the normal layout."""
+    from istnet_tpu.ops.ball_query_pallas import (ball_query_group_pallas,
+                                                  ball_query_group_pallas_t)
+
+    rng = np.random.RandomState(12)
+    xyz = jnp.asarray(np.asarray(rng.randn(1, 2048, 3), np.float32) * 0.05)
+    cent = jnp.asarray(np.asarray(rng.randn(1, 128, 3), np.float32) * 0.05)
+    a = ball_query_group_pallas((0.2, 0.05), (4, 16), xyz, cent, interpret=True)
+    b = ball_query_group_pallas_t((0.2, 0.05), (4, 16), xyz, cent, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
