@@ -124,10 +124,18 @@ def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
     the MXU padding they save. TM=512 is also ~11% slower than 256 for the
     direct form (tools/bqg_radix_ab history, commit-msg numbers)."""
     tm = min(m, 512)
-    # x8 on the output term: Mosaic double-buffers output blocks
+    # x8 on the output term: Mosaic double-buffers output blocks. The (N, N)
+    # triangle only exists on the matmul-cumsum path (N <= 1024); the
+    # Hillis-Steele path (make_tri -> None) holds no triangle.
+    tri_bytes = n * n if n <= 1024 else 0
     while tm > 64 and (tm * (n * 40 + sum(nsamples) * c * 8)
-                       + n * n + n * c * 4) > 12 * 2 ** 20:
+                       + tri_bytes + n * c * 4) > 12 * 2 ** 20:
         tm //= 2
+    # the transposed production kernel carries TM on the LANE axis: Mosaic
+    # requires lane-axis block dims to be a multiple of 128 or the whole M
+    # (regression caught by the N=2048 config: budget shrink picked 64 < M)
+    if tm < m:
+        tm = max(tm, 128)
     return tm
 
 

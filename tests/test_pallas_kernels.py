@@ -282,3 +282,18 @@ def test_ball_query_group_pallas_t_n2048_matches_normal_layout():
     b = ball_query_group_pallas_t((0.2, 0.05), (4, 16), xyz, cent, interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bqg_tile_lane_legal_all_stage_shapes():
+    """The transposed kernel carries TM on the lane axis: every tile must be
+    a multiple of 128 or the whole M (Mosaic block rule). Regression: at
+    N=2048 the VMEM budget shrink used to pick 64 < M and the 2048-pt config
+    stopped compiling on TPU (interpret-mode tests can't see this)."""
+    from istnet_tpu.ops.ball_query_pallas import bqg_tile
+
+    for n, m, c in ((1024, 512, 3), (512, 256, 67), (256, 128, 131),
+                    (128, 64, 259), (2048, 512, 3), (1024, 256, 67),
+                    (512, 128, 131), (256, 64, 259)):
+        tm = bqg_tile(m, n, c, (16, 32))
+        assert m % tm == 0
+        assert tm == m or tm % 128 == 0, (n, m, c, tm)
