@@ -584,10 +584,19 @@ def _bqg_bwd(radii, nsamples, use_xyz, interpret, out_dtype, res, g_bars):
     feat_bar = None if features is None else jnp.zeros_like(features)
     for idx, g in zip(idx_list, g_bars):
         b, m, ns = idx.shape
-        gf = g.reshape(b, m * ns, -1).astype(jnp.float32)
-        oh = jax.nn.one_hot(idx.reshape(b, m * ns), n, dtype=jnp.float32)
-        scat = jnp.einsum("bkn,bkc->bnc", oh, gf,
-                          precision=lax.Precision.HIGHEST)
+        if g.dtype == jnp.bfloat16:
+            # production path (out_dtype=bf16 cotangents): a bf16 MXU pass is
+            # exact for a one-hot LHS (products are 1.0 x g, f32 accumulation)
+            # and the (B, K, N) indicator is the dominant HBM traffic of this
+            # backward — bf16 halves it vs the f32 form below
+            oh = jax.nn.one_hot(idx.reshape(b, m * ns), n, dtype=jnp.bfloat16)
+            scat = jnp.einsum("bkn,bkc->bnc", oh, g.reshape(b, m * ns, -1),
+                              preferred_element_type=jnp.float32)
+        else:
+            gf = g.reshape(b, m * ns, -1).astype(jnp.float32)
+            oh = jax.nn.one_hot(idx.reshape(b, m * ns), n, dtype=jnp.float32)
+            scat = jnp.einsum("bkn,bkc->bnc", oh, gf,
+                              precision=lax.Precision.HIGHEST)
         if features is None:
             xyz_bar = xyz_bar + scat
         elif use_xyz:

@@ -120,6 +120,39 @@ def test_ball_query_group_vjp_matches_xla_autodiff():
                                    rtol=1e-5, atol=1e-6, err_msg=name)
 
 
+def test_ball_query_group_vjp_bf16_cotangents():
+    """out_dtype=bf16 (the production train path) takes the bf16 one-hot
+    scatter branch in ``_bqg_bwd``; its grads must match autodiff through the
+    XLA gather path with the same bf16 output rounding (scatter-adds of
+    identical bf16 cotangents, both f32-accumulated — differences are pure
+    summation order)."""
+    import jax
+
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group
+
+    rng = np.random.RandomState(11)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    cent = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 128, 5).astype(np.float32))
+    radii, nsamples = (0.15, 0.4), (4, 8)
+
+    def loss_fused(x, c, f):
+        outs = ball_query_group(radii, nsamples, True, True, x, c, f,
+                                jnp.bfloat16)
+        return sum(jnp.sum(jnp.sin(o.astype(jnp.float32))) for o in outs)
+
+    def loss_xla(x, c, f):
+        outs = xla_ops.ball_query_group(radii, nsamples, x, c, f, True)
+        return sum(jnp.sum(jnp.sin(o.astype(jnp.bfloat16).astype(jnp.float32)))
+                   for o in outs)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(xyz, cent, feats)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(xyz, cent, feats)
+    for gf, gx, name in zip(g_fused, g_xla, ("xyz", "new_xyz", "features")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
 def test_three_nn_pallas_matches_xla():
     from istnet_tpu.ops.three_nn_pallas import three_nn_pallas
     rng = np.random.RandomState(2)
