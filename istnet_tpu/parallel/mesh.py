@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 PyTree = Any
 
 DATA_AXIS = "dp"
+FSDP_AXIS = "fsdp"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -31,6 +32,21 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(dp: int, fsdp: int) -> Mesh:
+    """2-D (dp, fsdp) mesh for ZeRO-style parameter/optimizer sharding.
+
+    Lay the ``fsdp`` axis innermost so its all-gathers/reduce-scatters ride
+    the fastest ICI links (adjacent devices); ``dp`` gradient psums cross the
+    outer axis once per step.
+    """
+    devices = jax.devices()
+    if dp * fsdp > len(devices):
+        raise ValueError(f"mesh {dp}x{fsdp} needs {dp * fsdp} devices, "
+                         f"have {len(devices)}")
+    grid = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
+    return Mesh(grid, (DATA_AXIS, FSDP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -104,5 +120,88 @@ def jit_train_step_dp(train_step, mesh: Mesh):
         train_step,
         in_shardings=(rep, dp, rep),
         out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-3 style) over a 2-D (dp, fsdp) mesh
+# ---------------------------------------------------------------------------
+
+def _fsdp_leaf_spec(x, fsdp_size: int, min_size: int) -> P:
+    """PartitionSpec sharding x's largest divisible axis over ``fsdp``.
+
+    Leaves smaller than ``min_size`` elements (biases, BN scales, scalar
+    schedule state) stay replicated: gathering them costs more in collective
+    latency than the memory they'd save.
+    """
+    shape = getattr(x, "shape", ())
+    if not shape or x.size < min_size:
+        return P()
+    # largest axis first; ties -> earliest axis (stable for conv kernels where
+    # the trailing channel axes dominate)
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+            spec = [None] * len(shape)
+            spec[i] = FSDP_AXIS
+            return P(*spec)
+    return P()
+
+
+def fsdp_shardings(mesh: Mesh, tree: PyTree, min_size: int = 2 ** 11) -> PyTree:
+    """Per-leaf NamedShardings: each large leaf split over the fsdp axis."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, _fsdp_leaf_spec(x, fsdp_size, min_size)),
+        tree)
+
+
+def state_shardings_fsdp(mesh: Mesh, state: PyTree) -> PyTree:
+    """Shardings for a TrainState: params + opt_state sharded over fsdp,
+    step/batch_stats replicated (stats are small and the BN-EMA reads them
+    densely every step)."""
+    rep = replicated(mesh)
+
+    def one(path, leaf):
+        top = path[0].name if hasattr(path[0], "name") else str(path[0])
+        if top in ("params", "opt_state"):
+            fsdp_size = mesh.shape[FSDP_AXIS]
+            return NamedSharding(mesh, _fsdp_leaf_spec(leaf, fsdp_size, 2 ** 11))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
+def shard_batch_2d(mesh: Mesh, batch: PyTree) -> PyTree:
+    """Batch axis sharded over BOTH mesh axes (pure data parallelism of
+    degree dp*fsdp; the fsdp axis only shards *storage* of params)."""
+    sh = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_state_fsdp(mesh: Mesh, state: PyTree) -> PyTree:
+    """Place a host-local TrainState onto the mesh with FSDP shardings."""
+    shardings = state_shardings_fsdp(mesh, state)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, shardings)
+
+
+def jit_train_step_fsdp(train_step, mesh: Mesh, state: PyTree):
+    """jit the train step over a 2-D (dp, fsdp) mesh, ZeRO-3 style.
+
+    Params and optimizer state live sharded over the ``fsdp`` axis; the batch
+    is sharded over both axes. GSPMD inserts the all-gather of each weight
+    before its matmul and the reduce-scatter of its gradient — the TPU-native
+    equivalent of torch FSDP, with zero model-code changes. ``state`` is the
+    (host or device) TrainState used to derive per-leaf shardings.
+    """
+    st_sh = state_shardings_fsdp(mesh, state)
+    rep = replicated(mesh)
+    batch_sh = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, batch_sh, rep),
+        out_shardings=(st_sh, rep),
         donate_argnums=(0,),
     )
