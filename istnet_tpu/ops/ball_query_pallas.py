@@ -605,7 +605,13 @@ def _bqg_bwd(radii, nsamples, use_xyz, interpret, out_dtype, res, g_bars):
         else:
             feat_bar = feat_bar + scat.astype(features.dtype)
         if sub_xyz:  # rel-xyz: d(x_n - c_m)/dc_m = -1 summed over slots
-            new_bar = new_bar - jnp.sum(g[..., :3], axis=2).astype(new_xyz.dtype)
+            # accumulate in f32: jnp.sum of a bf16 array reduces IN bf16,
+            # which rounds every partial sum — up to ~1 bf16 ulp of drift vs
+            # the XLA path's f32 reduction (caught by
+            # test_ball_query_group_vjp_bf16_cotangents). bf16 cotangents are
+            # exact in f32, so this matches XLA up to summation order.
+            new_bar = new_bar - jnp.sum(g[..., :3].astype(jnp.float32),
+                                        axis=2).astype(new_xyz.dtype)
     return xyz_bar.astype(xyz.dtype), new_bar, feat_bar
 
 

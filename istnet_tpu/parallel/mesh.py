@@ -38,14 +38,21 @@ def make_mesh_2d(dp: int, fsdp: int) -> Mesh:
     """2-D (dp, fsdp) mesh for ZeRO-style parameter/optimizer sharding.
 
     Lay the ``fsdp`` axis innermost so its all-gathers/reduce-scatters ride
-    the fastest ICI links (adjacent devices); ``dp`` gradient psums cross the
-    outer axis once per step.
+    the fastest ICI links; ``dp`` gradient psums cross the outer axis once
+    per step. On real TPUs the raw ``jax.devices()`` enumeration does not
+    guarantee ICI adjacency, so use ``mesh_utils.create_device_mesh`` (which
+    solves for a torus-aligned layout) whenever the full device set is used;
+    fall back to a plain reshape for partial meshes / virtual CPU devices.
     """
     devices = jax.devices()
     if dp * fsdp > len(devices):
         raise ValueError(f"mesh {dp}x{fsdp} needs {dp * fsdp} devices, "
                          f"have {len(devices)}")
-    grid = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
+    if dp * fsdp == len(devices) and devices[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_device_mesh((dp, fsdp))
+    else:
+        grid = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
     return Mesh(grid, (DATA_AXIS, FSDP_AXIS))
 
 
@@ -75,10 +82,17 @@ def replicate(mesh: Mesh, tree: PyTree) -> PyTree:
     compile skew can exceed the transport's handshake timeout (observed: CPU
     gloo's 30 s KV timeout). Callers must pass the same values on every
     process (true by construction: same-seed init or a shared checkpoint).
+
+    COPY-SAFE against donation: ``device_put`` to a compatible sharding
+    ALIASES the source buffer on its home device, so a later donating step
+    (``jit_train_step_dp``, donate_argnums=(0,)) would delete the caller's
+    original tree through the alias (round-2 multichip regression). A jitted
+    identity with ``out_shardings`` always materializes fresh buffers —
+    XLA cannot alias input to output without donation.
     """
     sh = replicated(mesh)
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+        return jax.jit(lambda t: t, out_shardings=sh)(tree)
 
     local = mesh.local_devices
 
@@ -157,17 +171,18 @@ def fsdp_shardings(mesh: Mesh, tree: PyTree, min_size: int = 2 ** 11) -> PyTree:
         tree)
 
 
-def state_shardings_fsdp(mesh: Mesh, state: PyTree) -> PyTree:
+def state_shardings_fsdp(mesh: Mesh, state: PyTree,
+                         min_size: int = 2 ** 11) -> PyTree:
     """Shardings for a TrainState: params + opt_state sharded over fsdp,
     step/batch_stats replicated (stats are small and the BN-EMA reads them
     densely every step)."""
     rep = replicated(mesh)
+    fsdp_size = mesh.shape[FSDP_AXIS]
 
     def one(path, leaf):
         top = path[0].name if hasattr(path[0], "name") else str(path[0])
         if top in ("params", "opt_state"):
-            fsdp_size = mesh.shape[FSDP_AXIS]
-            return NamedSharding(mesh, _fsdp_leaf_spec(leaf, fsdp_size, 2 ** 11))
+            return NamedSharding(mesh, _fsdp_leaf_spec(leaf, fsdp_size, min_size))
         return rep
 
     return jax.tree_util.tree_map_with_path(one, state)
@@ -180,11 +195,16 @@ def shard_batch_2d(mesh: Mesh, batch: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def shard_state_fsdp(mesh: Mesh, state: PyTree) -> PyTree:
-    """Place a host-local TrainState onto the mesh with FSDP shardings."""
-    shardings = state_shardings_fsdp(mesh, state)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), state, shardings)
+def shard_state_fsdp(mesh: Mesh, state: PyTree,
+                     min_size: int = 2 ** 11) -> PyTree:
+    """Place a host-local TrainState onto the mesh with FSDP shardings.
+
+    Copy-safe against donation (see ``replicate``): replicated small leaves
+    under a plain ``device_put`` would alias the source buffers; the jitted
+    identity materializes fresh buffers for every leaf.
+    """
+    shardings = state_shardings_fsdp(mesh, state, min_size)
+    return jax.jit(lambda t: t, out_shardings=shardings)(state)
 
 
 def jit_train_step_fsdp(train_step, mesh: Mesh, state: PyTree):

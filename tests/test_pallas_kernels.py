@@ -124,8 +124,22 @@ def test_ball_query_group_vjp_bf16_cotangents():
     """out_dtype=bf16 (the production train path) takes the bf16 one-hot
     scatter branch in ``_bqg_bwd``; its grads must match autodiff through the
     XLA gather path with the same bf16 output rounding (scatter-adds of
-    identical bf16 cotangents, both f32-accumulated — differences are pure
-    summation order)."""
+    identical bf16 cotangents, ALL reductions f32-accumulated — differences
+    are pure summation order, hence the tight rtol). Two pinned invariants:
+
+    1. every reduction in ``_bqg_bwd`` accumulates in f32 (``jnp.sum`` of a
+       bf16 array reduces IN bf16 — the slot-sum for new_xyz_bar must upcast
+       first; regression caught here in round 2);
+    2. the bf16 one-hot MXU scatter is exact (products are 1.0 x g).
+
+    CPU-only caveat (why this comparison is made on the pytest CPU backend):
+    on TPU, XLA folds the baseline's f32->bf16->f32 convert pair in the
+    BACKWARD graph, so the XLA-path cotangents silently skip the bf16
+    rounding a genuine bf16-output op applies — the two sides then differ by
+    up to one bf16 ulp (2^-9 rel) through no fault of the kernel. The
+    TPU-side invariant was verified directly instead (round 3): given
+    identical cotangents, the one-hot bf16 einsum and XLA's scatter-add are
+    BITWISE equal on TPU at production shapes (b=2, n=1024, m=256, ns=32)."""
     import jax
 
     from istnet_tpu.ops.ball_query_pallas import ball_query_group
