@@ -323,6 +323,206 @@ def test_encoder_parity(ref):
 
 
 # ---------------------------------------------------------------------------
+# 2b. full-model forward parity: reference IST_Net vs our ISTNet
+# ---------------------------------------------------------------------------
+
+def _install_ext_stubs(torch):
+    """Populate the ``pointnet2._ext`` stub module with numpy implementations
+    of the six CUDA kernels, so the reference ``IST_Net.forward`` runs whole
+    on CPU. Semantics transcribed from ``_ext_src/src/*.cu`` exactly like
+    ``istnet_tpu/ops/golden.py`` (the slow goldens), but vectorized — the
+    triple-loop golden ball query would take minutes at n=1024."""
+    import sys
+
+    ext = sys.modules["pointnet2._ext"]
+
+    def _d2(a, b):  # (m,3),(n,3) -> (m,n) f32 squared distances
+        return np.sum((a[:, None, :] - b[None, :, :]) ** 2,
+                      axis=-1).astype(np.float32)
+
+    def furthest_point_sampling(xyz, npoint):
+        from istnet_tpu.ops.golden import fps_golden
+        return torch.from_numpy(fps_golden(xyz.numpy(), npoint))
+
+    def gather_points(features, idx):  # (B,C,N), (B,np) -> (B,C,np)
+        f, i = features.numpy(), idx.numpy()
+        out = np.take_along_axis(f, i[:, None, :].astype(np.int64), axis=2)
+        return torch.from_numpy(np.ascontiguousarray(out))
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        # ball_query_gpu.cu:14-59 — first nsample in-radius hits in ascending
+        # point order, pad with the first hit (zeros when no hit).
+        nx, x = new_xyz.numpy(), xyz.numpy()
+        b, m, _ = nx.shape
+        out = np.zeros((b, m, nsample), np.int32)
+        for bi in range(b):
+            hit = _d2(nx[bi], x[bi]) < np.float32(radius) ** 2  # (m, n)
+            order = np.argsort(~hit, kind="stable", axis=-1)     # hits first
+            cnt = hit.sum(-1, keepdims=True)                     # (m, 1)
+            first = np.where(cnt > 0, order[:, :1], 0)
+            sl = order[:, :nsample]
+            out[bi] = np.where(np.arange(nsample)[None] < cnt, sl, first)
+        return torch.from_numpy(out)
+
+    def group_points(features, idx):  # (B,C,N), (B,np,ns) -> (B,C,np,ns)
+        f, i = features.numpy(), idx.numpy().astype(np.int64)
+        b, c, _ = f.shape
+        out = np.take_along_axis(f[:, :, None, :],
+                                 i[:, None, :, :], axis=3)
+        return torch.from_numpy(np.ascontiguousarray(out))
+
+    def three_nn(unknown, known):
+        # interpolate_gpu.cu:14-73 — returns SQUARED dists (the python
+        # wrapper sqrts, pointnet2_utils.py:142); first-occurrence ties.
+        u, k = unknown.numpy(), known.numpy()
+        b, n, _ = u.shape
+        dist2 = np.zeros((b, n, 3), np.float32)
+        idx = np.zeros((b, n, 3), np.int32)
+        for bi in range(b):
+            d2 = _d2(u[bi], k[bi])
+            order = np.argsort(d2, kind="stable", axis=-1)[:, :3]
+            idx[bi] = order
+            dist2[bi] = np.take_along_axis(d2, order, axis=-1)
+        return torch.from_numpy(dist2), torch.from_numpy(idx)
+
+    def three_interpolate(features, idx, weight):  # (B,c,m),(B,n,3),(B,n,3)
+        f, i, w = features.numpy(), idx.numpy().astype(np.int64), weight.numpy()
+        g = np.take_along_axis(f[:, :, None, :], i[:, None, :, :], axis=3)
+        out = np.sum(g * w[:, None, :, :], axis=-1, dtype=np.float32)
+        return torch.from_numpy(np.ascontiguousarray(out))
+
+    ext.furthest_point_sampling = furthest_point_sampling
+    ext.gather_points = gather_points
+    ext.ball_query = ball_query
+    ext.group_points = group_points
+    ext.three_nn = three_nn
+    ext.three_interpolate = three_interpolate
+
+
+@needs_reference
+@pytest.mark.parametrize("train", [False, True], ids=["eval", "train"])
+def test_full_model_forward_parity(ref, monkeypatch, train):
+    """THE end-to-end accuracy-parity statement available without NOCS data:
+    the reference ``IST_Net.forward`` (ist_net.py:22-76) run whole on CPU
+    (CUDA ops replaced by numpy transcriptions of the .cu kernels) and our
+    ``ISTNet`` under the converted weights are the same function, on both the
+    eval and train branches, plus the training loss (ist_net.py:78-111).
+
+    Dropout is disabled on BOTH sides (torch Dropout2d -> eval, flax
+    Dropout2d -> identity): it carries no golden-value contract and the two
+    RNGs cannot be aligned. BatchNorm runs in true batch-stats mode on the
+    train branch and running-stats mode on the eval branch, both sides."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+    from istnet_tpu.nn import layers
+
+    _install_ext_stubs(torch)
+
+    # IST_Net's encoder hard-codes pretrained=True (modules.py:237 ->
+    # resnet.py:205-210 model_zoo download); no egress here and the weights
+    # are _randomize'd right after anyway — skip the download.
+    resnet_mod = sys.modules["resnet"]
+    monkeypatch.setattr(resnet_mod, "resnet18",
+                        lambda pretrained=False: resnet_mod.ResNet(
+                            resnet_mod.BasicBlock, [2, 2, 2, 2]))
+    m = ref.ist_net.IST_Net()
+    _randomize(torch, m, 31)
+    if train:
+        m.train()
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.Dropout2d):
+                mod.eval()
+    else:
+        m.eval()
+
+    # img=96 (not smaller): the reference trunk's dead not-fully_conv tail
+    # (resnet.py:197-198 x.view) crashes on the non-contiguous layer4 output
+    # below 96; 96 keeps the PSP grid (12) divisible by 1/2/3/6 like
+    # production 24.
+    b, n, img = 2, 1024, 96
+    rng = np.random.RandomState(6)
+    rgb = rng.randn(b, img, img, 3).astype(np.float32)
+    pts = (rng.randn(b, n, 3) * 0.1).astype(np.float32)
+    choose = rng.randint(0, img * img, (b, n)).astype(np.int64)
+    cls = np.array([1, 4], np.int64)
+    qo = (rng.rand(b, n, 3).astype(np.float32) - 0.5) * 0.4
+
+    t_inputs = {
+        # ascontiguousarray: a strided NCHW view would flip torch convs into
+        # channels_last and crash the trunk's dead x.view tail (resnet.py:198)
+        "rgb": torch.from_numpy(np.ascontiguousarray(np.transpose(rgb, (0, 3, 1, 2)))),
+        "pts": torch.from_numpy(pts),
+        "choose": torch.from_numpy(choose),
+        "category_label": torch.from_numpy(cls),
+        "qo": torch.from_numpy(qo),
+    }
+    with torch.no_grad():
+        t_out = m(t_inputs)
+
+    trees = C.convert_state_dict(_np_sd(m), "ist_net")
+    # identity dropout on the flax side too (train branch only path that has
+    # dropout is the encoder; eval never calls it)
+    monkeypatch.setattr(layers.Dropout2d, "__call__",
+                        lambda self, x, train: x)
+    j_inputs = {
+        "rgb": jnp.asarray(rgb),
+        "pts": jnp.asarray(pts),
+        "choose": jnp.asarray(choose, jnp.int32),
+        "category_label": jnp.asarray(cls, jnp.int32),
+    }
+    if train:
+        j_inputs["qo"] = jnp.asarray(qo)
+    variables = {"params": trees["params"], "batch_stats": trees["batch_stats"]}
+    if train:
+        j_out, _ = ISTNet().apply(variables, j_inputs, train=True,
+                                  mutable=["batch_stats"])
+    else:
+        j_out = ISTNet().apply(variables, j_inputs, train=False)
+
+    keys = ["pred_rotation", "pred_translation", "pred_size", "pred_qo"]
+    if train:
+        keys += ["pts_w_local", "pts_w_local_gt",
+                 "pred_rotation_aux_cam", "pred_translation_aux_cam",
+                 "pred_size_aux_cam", "pred_rotation_aux_world",
+                 "pred_translation_aux_world", "pred_size_aux_world"]
+    assert set(j_out) == set(t_out)
+    for k in keys:
+        t_v = t_out[k].numpy()
+        j_v = np.asarray(j_out[k])
+        if k in ("pts_w_local", "pts_w_local_gt"):
+            j_v = np.transpose(j_v, (0, 2, 1))  # ours is channel-last
+        # train runs every BN in batch-stats mode: dividing by the batch std
+        # of random-weight activations amplifies f32 drift a few x vs eval
+        # (measured: eval max |diff| < 2e-3; train 4.9e-3 on 3/6144 pred_qo
+        # elements, everything else inside 2e-3)
+        atol = 8e-3 if train else 2e-3
+        np.testing.assert_allclose(j_v, t_v, atol=atol, rtol=1e-3, err_msg=k)
+
+    if train:
+        labels = {
+            "rotation_label": rng.randn(b, 3, 3).astype(np.float32),
+            "translation_label": rng.randn(b, 3).astype(np.float32) * 0.1,
+            "size_label": rng.rand(b, 3).astype(np.float32),
+            "qo": qo,
+        }
+        t_ep = dict(t_out)
+        for k, v in labels.items():
+            t_ep[k] = torch.from_numpy(v)
+        cfg = types.SimpleNamespace(
+            loss=types.SimpleNamespace(gamma1=8.0, gamma2=10.0),
+            freeze_world_enhancer=False)
+        with torch.no_grad():
+            t_loss = float(ref.ist_net.SupervisedLoss(cfg)(t_ep))
+        j_loss, _ = supervised_loss(
+            j_out, {k: jnp.asarray(v) for k, v in labels.items()},
+            gamma1=8.0, gamma2=10.0, freeze_world_enhancer=False)
+        np.testing.assert_allclose(float(j_loss), t_loss, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # 3. reverse direction (flax -> torch export)
 # ---------------------------------------------------------------------------
 
