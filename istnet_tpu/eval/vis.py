@@ -55,6 +55,61 @@ def draw_bboxes(img: np.ndarray, img_pts: np.ndarray, color) -> np.ndarray:
     return img
 
 
+def draw_axes_box(img: np.ndarray, img_pts: np.ndarray, axes_pts: np.ndarray,
+                  color) -> np.ndarray:
+    """Layered 3D box wireframe PLUS xyz axes arrows (vis_utils.py:73-100).
+
+    ``axes_pts`` are the 2D projections of [origin, x-end, y-end, z-end]
+    (project ``transform_coordinates_3d(axes, srt)`` like the box corners).
+    Axis colors follow the reference's BGR constants: x (index 1) red-channel
+    (0,0,255), z (index 3) blue-channel (255,0,0), y (index 2) green, drawn
+    last. Thickness 3 like the reference (draw_bboxes' thickness-2 variant
+    mirrors its other renderer)."""
+    img_pts = np.int32(img_pts).reshape(-1, 2)
+    axes_pts = np.int32(axes_pts).reshape(-1, 2)
+    ground = tuple(int(c * 0.3) for c in color)
+    for i, j in zip([4, 5, 6, 7], [5, 7, 4, 6]):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), ground, 3)
+    pillar = tuple(int(c * 0.6) for c in color)
+    for i, j in zip(range(4), range(4, 8)):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), pillar, 3)
+    for i, j in zip([0, 1, 2, 3], [1, 3, 0, 2]):
+        img = cv2.line(img, tuple(img_pts[i]), tuple(img_pts[j]), tuple(color), 3)
+    img = cv2.line(img, tuple(axes_pts[0]), tuple(axes_pts[1]), (0, 0, 255), 3)
+    img = cv2.line(img, tuple(axes_pts[0]), tuple(axes_pts[3]), (255, 0, 0), 3)
+    img = cv2.line(img, tuple(axes_pts[0]), tuple(axes_pts[2]), (0, 255, 0), 3)
+    return img
+
+
+def draw_text(draw_image: np.ndarray, bbox, text: str,
+              draw_box: bool = False) -> np.ndarray:
+    """Filled label box + text near a (y1, x1, y2, x2) detection bbox
+    (vis_utils.py:103-139), clamped inside a 640x480 frame with the
+    reference's exact 10-px margins and TRIPLEX face."""
+    font_face = cv2.FONT_HERSHEY_TRIPLEX
+    font_scale = 1
+    thickness = 1
+    retval, _baseline = cv2.getTextSize(text, font_face, font_scale, thickness)
+
+    bbox_margin = 10
+    text_margin = 10
+    tl = (min(bbox[1] + bbox_margin, 635 - retval[0] - 2 * text_margin),
+          min(bbox[2] + bbox_margin, 475 - retval[1] - 2 * text_margin))
+    br = (tl[0] + retval[0] + 2 * text_margin,
+          tl[1] + retval[1] + 2 * text_margin)
+    # text_pos is the bottom-left corner of the text
+    text_pos = (tl[0] + text_margin, br[1] - text_margin - 3)
+
+    if draw_box:
+        cv2.rectangle(draw_image, (bbox[1], bbox[0]), (bbox[3], bbox[2]),
+                      (255, 0, 0), 2)
+    cv2.rectangle(draw_image, tl, br, (255, 0, 0), -1)
+    cv2.rectangle(draw_image, tl, br, (0, 0, 0), 1)
+    cv2.putText(draw_image, text, text_pos, font_face, font_scale,
+                (255, 255, 255), thickness)
+    return draw_image
+
+
 def _draw_set(img, srts, sizes, class_ids, intrinsics, color):
     for i in range(len(srts)):
         srt = align_rotation(srts[i]) if class_ids[i] in (1, 2, 4) else srts[i]

@@ -136,7 +136,22 @@ class Solver:
         # iterations (solver.py:85, datasets resampled to 4000*bs images);
         # enforce it here instead of trusting loader sizing — a Solver user
         # with unsized datasets would otherwise silently get a different
-        # epoch length
+        # epoch length. Fail fast on provably-short loaders; the end-of-epoch
+        # warning below stays as a net for dynamic exhaustion (self-healing
+        # datasets can shrink mid-epoch).
+        for name, loader in (("syn", self.syn_loader), ("real", self.real_loader)):
+            if loader is None:
+                continue
+            try:
+                n = len(loader)
+            except TypeError:
+                continue
+            if n < self.iters_per_epoch:
+                raise ValueError(
+                    f"{name} loader provides {n} batches but the epoch "
+                    f"contract is {self.iters_per_epoch} iterations; size the "
+                    "dataset with num_img_per_epoch = iters * batch (reference "
+                    "solver.py:85)")
         import itertools
         iters = zip(self.syn_loader, self.real_loader) if self.real_loader else (
             (b, None) for b in self.syn_loader)
