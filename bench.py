@@ -50,6 +50,13 @@ def _throughput(fn, args, batch: int) -> float:
     from jax import lax
 
     params, stats, inputs = args
+    # equalize the per-chain tunnel-sync overhead across batch sizes: one
+    # float() costs ~30 ms regardless of batch, so a fixed CHAIN=10 taxes
+    # B=32 (~26% of a 114 ms chain) 4x harder than B=128 (~6.5% of 460 ms).
+    # Scale the chain so every batch amortizes over the same total work
+    # (profiled device time is ~flat per sample: 355 us/sample @32 vs
+    # 362 @128 — the old B=32 number was a measurement artifact).
+    chain_len = max(CHAIN, CHAIN * 128 // max(batch, 1))
 
     @jax.jit
     def chain(inputs):
@@ -61,14 +68,14 @@ def _throughput(fn, args, batch: int) -> float:
             inp["rgb"] = inp["rgb"] + acc * 1e-12
             out = fn(params, stats, inp)
             return acc + jnp.sum(out["pred_translation"][0]) * 1e-9
-        return lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+        return lax.fori_loop(0, chain_len, body, jnp.float32(0))
 
     for _ in range(WARMUP):
         _ = float(chain(inputs))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         _ = float(chain(inputs))
-    return batch / ((time.perf_counter() - t0) / (ITERS * CHAIN))
+    return batch / ((time.perf_counter() - t0) / (ITERS * chain_len))
 
 
 def main() -> None:
