@@ -195,16 +195,32 @@ def shard_batch_2d(mesh: Mesh, batch: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _place_host_local(x, sh: NamedSharding):
+    """Place a host-local (same value on every process) array under an
+    arbitrary NamedSharding without cross-process value checks: each local
+    device gets its slice via the sharding's addressable index map, then the
+    global array is assembled from the single-device shards (same rationale
+    as ``replicate``'s multi-process branch)."""
+    x = np.asarray(x)
+    idx_map = sh.addressable_devices_indices_map(x.shape)
+    shards = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sh, shards)
+
+
 def shard_state_fsdp(mesh: Mesh, state: PyTree,
                      min_size: int = 2 ** 11) -> PyTree:
     """Place a host-local TrainState onto the mesh with FSDP shardings.
 
     Copy-safe against donation (see ``replicate``): replicated small leaves
     under a plain ``device_put`` would alias the source buffers; the jitted
-    identity materializes fresh buffers for every leaf.
+    identity materializes fresh buffers for every leaf. Multi-process: every
+    process passes the same values (same-seed init or a shared checkpoint)
+    and each places only its local shards — no cross-process transfer.
     """
     shardings = state_shardings_fsdp(mesh, state, min_size)
-    return jax.jit(lambda t: t, out_shardings=shardings)(state)
+    if jax.process_count() == 1:
+        return jax.jit(lambda t: t, out_shardings=shardings)(state)
+    return jax.tree_util.tree_map(_place_host_local, state, shardings)
 
 
 def jit_train_step_fsdp(train_step, mesh: Mesh, state: PyTree):

@@ -25,7 +25,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from istnet_tpu.parallel.mesh import DATA_AXIS, shard_batch
+from istnet_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, shard_batch  # noqa: F401
 
 PyTree = Any
 
@@ -80,15 +80,18 @@ def per_host_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def global_batch(mesh: Mesh, local_batch: PyTree) -> PyTree:
+def global_batch(mesh: Mesh, local_batch: PyTree, spec: P | None = None) -> PyTree:
     """Assemble host-local arrays into a global batch-sharded jax.Array tree.
 
     ``local_batch`` leaves are numpy arrays whose leading axis is this host's
-    shard of the global batch (host order = process index order).
-    """
+    shard of the global batch (host order = process index order). ``spec``
+    overrides the batch-axis partitioning (default ``P(DATA_AXIS)``; pass
+    ``P((DATA_AXIS, FSDP_AXIS))`` to feed a 2-D dp x fsdp mesh, where the
+    batch is data-parallel over BOTH axes)."""
+    sharding = NamedSharding(mesh, spec if spec is not None else P(DATA_AXIS))
     if jax.process_count() == 1:
-        return shard_batch(mesh, local_batch)
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), local_batch)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         local_batch)

@@ -98,6 +98,38 @@ def main() -> None:
     leaf = jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
     print(f"MH loss={loss:.10f}", flush=True)
     print(f"MH param_fp={float(np.abs(np.asarray(leaf)).sum()):.10e}", flush=True)
+
+    # --- FSDP leg: same init + same global batch over a 2-D (dp, fsdp) mesh.
+    # Params/opt-state live SHARDED across processes (ZeRO-3); the gradient
+    # reduce-scatter and weight all-gathers span hosts. Loss must match the
+    # DP leg (same math, different collective schedule).
+    from jax.sharding import PartitionSpec as P
+
+    from istnet_tpu.parallel import jit_train_step_fsdp, make_mesh_2d, shard_state_fsdp
+    from istnet_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+    mesh2 = make_mesh_2d(2, 2)
+    state2 = create_train_state(variables["params"], variables["batch_stats"], tx)
+    state2 = shard_state_fsdp(mesh2, state2)
+    batch2 = multihost.global_batch(mesh2, {"inputs": inputs, "labels": labels},
+                                    spec=P((DATA_AXIS, FSDP_AXIS)))
+    fsdp_step = jit_train_step_fsdp(step_fn, mesh2, state2)
+    compiled2 = fsdp_step.lower(state2, batch2, key).compile()
+    print("MH fsdp_compiled", flush=True)
+    multihost.barrier("istnet_mh_fsdp_compiled")
+    state2, metrics2 = compiled2(state2, batch2, key)
+    loss2 = float(np.asarray(jax.device_get(metrics2["loss"])))
+    # params are cross-process sharded (np.asarray on a non-addressable array
+    # raises): fingerprint via an in-graph reduction to a replicated scalar
+    from istnet_tpu.parallel.mesh import replicated
+
+    fp_fn = jax.jit(
+        lambda t: sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                      for l in jax.tree_util.tree_leaves(t)),
+        out_shardings=replicated(mesh2))
+    fp2 = float(np.asarray(jax.device_get(fp_fn(state2.params))))
+    print(f"MH fsdp_loss={loss2:.10f}", flush=True)
+    print(f"MH fsdp_param_fp={fp2:.10e}", flush=True)
     # rendezvous BEFORE exiting: jax's atexit distributed.shutdown runs a
     # short coordination barrier, and per-process post-step skew on this
     # one-core host (observed under full-suite contention) can exceed it —

@@ -59,3 +59,16 @@ def test_two_process_dp_train_step():
     assert np.isfinite(losses).all()
     assert losses[0] == losses[1], f"hosts disagree on the global loss: {losses}"
     assert fps[0] == fps[1], f"hosts diverged after the update: {fps}"
+
+    # FSDP leg: cross-host agreement AND agreement with the DP loss (same
+    # init, same global batch — only the collective schedule differs, so the
+    # losses match up to reduction order)
+    fsdp_losses = [float(grab(out, "fsdp_loss")) for out in outs]
+    fsdp_fps = [float(grab(out, "fsdp_param_fp")) for out in outs]
+    assert np.isfinite(fsdp_losses).all()
+    assert fsdp_losses[0] == fsdp_losses[1], \
+        f"hosts disagree on the FSDP loss: {fsdp_losses}"
+    assert fsdp_fps[0] == fsdp_fps[1], \
+        f"hosts diverged after the FSDP update: {fsdp_fps}"
+    np.testing.assert_allclose(fsdp_losses[0], losses[0], rtol=1e-5,
+                               err_msg="FSDP loss != DP loss")
