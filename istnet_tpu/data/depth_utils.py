@@ -207,7 +207,10 @@ def fill_missing(dpt: np.ndarray, cam_scale: float, scale_2_80m: float,
     the cv2 path."""
     if prefer_native is None:
         prefer_native = _NATIVE_OK
-    if prefer_native and fill_type == "multiscale" and blur_type == "bilateral":
+    if (prefer_native and fill_type == "multiscale" and blur_type == "bilateral"
+            and min(dpt.shape[:2]) >= 5):  # below one 5x5 kernel the border
+        # conventions diverge from cv2 (measured: exact parity at >= 3x3,
+        # divergence at 1xN/2x2); such frames never occur in NOCS data
         try:
             from istnet_tpu import native
             if native.available():

@@ -65,3 +65,17 @@ def test_native_non_default_configs_stay_cv2():
     b = fill_missing(depth.copy(), 1000.0, 1, fill_type="fast",
                      prefer_native=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_tiny_frames_fall_back_and_native_never_reads_oob():
+    """min(h, w) < 5 routes to cv2 (border conventions diverge below one
+    5x5 kernel); calling the native core directly on such frames must still
+    be in-bounds (reflect clamp) and finite."""
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (1, 7), (2, 2), (4, 9), (3, 3)]:
+        d = (800 + 2000 * rng.rand(h, w)).astype(np.float32)
+        got = native.fill_missing_native(d.copy(), 1000.0, 1)
+        assert np.isfinite(got).all(), (h, w)
+        wrapped = fill_missing(d.copy(), 1000.0, 1)
+        cv2_out = fill_missing(d.copy(), 1000.0, 1, prefer_native=False)
+        np.testing.assert_array_equal(wrapped, cv2_out)
