@@ -110,12 +110,32 @@ def draw_text(draw_image: np.ndarray, bbox, text: str,
     return draw_image
 
 
-def _draw_set(img, srts, sizes, class_ids, intrinsics, color):
+# NOCS category names, index = class id (reference data conventions)
+CLASS_NAMES = ("BG", "bottle", "bowl", "camera", "can", "laptop", "mug")
+
+
+def _draw_set(img, srts, sizes, class_ids, intrinsics, color,
+              draw_axes: bool = False, draw_labels: bool = False):
     for i in range(len(srts)):
         srt = align_rotation(srts[i]) if class_ids[i] in (1, 2, 4) else srts[i]
         bbox = get_3d_bbox(sizes[i], 0)
         pts = calculate_2d_projections(transform_coordinates_3d(bbox, srt), intrinsics)
-        img = draw_bboxes(img, pts, color)
+        if draw_axes:
+            ax_len = float(np.max(sizes[i])) * 0.75
+            axes = np.array([[0, 0, 0], [ax_len, 0, 0],
+                             [0, ax_len, 0], [0, 0, ax_len]], np.float64).T
+            ax_pts = calculate_2d_projections(
+                transform_coordinates_3d(axes, srt), intrinsics)
+            img = draw_axes_box(img, pts, ax_pts, color)
+        else:
+            img = draw_bboxes(img, pts, color)
+        if draw_labels:
+            cid = int(class_ids[i])
+            name = CLASS_NAMES[cid] if 0 <= cid < len(CLASS_NAMES) else str(cid)
+            u = pts[:, 0].clip(0, img.shape[1] - 1)
+            v = pts[:, 1].clip(0, img.shape[0] - 1)
+            img = draw_text(img, (int(v.min()), int(u.min()),
+                                  int(v.max()), int(u.max())), name)
     return img
 
 
@@ -123,15 +143,23 @@ def draw_detections(img, out_dir, data_name, img_id, intrinsics,
                     pred_srt, pred_size, pred_class_ids,
                     gt_srt=None, gt_size=None, gt_class_ids=None,
                     nocs_srt=None, nocs_size=None, nocs_class_ids=None,
-                    draw_gt: bool = True, draw_nocs: bool = False):
+                    draw_gt: bool = True, draw_nocs: bool = False,
+                    draw_axes: bool = False, draw_labels: bool = False):
     """Overlay pred (red) / gt (green) / nocs (blue) boxes; write a PNG
-    (vis_utils.py:181-221). Returns the drawn image."""
+    (vis_utils.py:181-221). Returns the drawn image.
+
+    ``draw_axes`` renders the reference's axes-arrow style (vis_utils.py:
+    73-100) on the prediction boxes; ``draw_labels`` adds the class-name
+    text box (vis_utils.py:103-139). Both are off by default to match the
+    reference's own draw_detections, whose axes/text helpers are
+    caller-level utilities with no internal callers."""
     intrinsics = np.asarray(intrinsics, np.float64)
     if draw_nocs and nocs_srt is not None:
         img = _draw_set(img, nocs_srt, nocs_size, nocs_class_ids, intrinsics, (255, 0, 0))
     if draw_gt and gt_srt is not None:
         img = _draw_set(img, gt_srt, gt_size, gt_class_ids, intrinsics, (0, 255, 0))
-    img = _draw_set(img, pred_srt, pred_size, pred_class_ids, intrinsics, (0, 0, 255))
+    img = _draw_set(img, pred_srt, pred_size, pred_class_ids, intrinsics, (0, 0, 255),
+                    draw_axes=draw_axes, draw_labels=draw_labels)
     os.makedirs(out_dir, exist_ok=True)
     cv2.imwrite(os.path.join(out_dir, f"{data_name}_{img_id}_pred.png"), img)
     return img

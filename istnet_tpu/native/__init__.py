@@ -25,12 +25,20 @@ def _build_and_load():
     _TRIED = True
     here = os.path.dirname(os.path.abspath(__file__))
     so = os.path.join(here, "libistnet_native.so")
-    if not os.path.exists(so):
+    cpp = os.path.join(here, "depth_fill.cpp")
+    # rebuild when missing OR stale: a prebuilt .so older than the source
+    # would lack newly added symbols and silently disable the native path
+    # (the ctypes symbol lookup below would fail into the cv2 fallback)
+    stale = (not os.path.exists(so)
+             or (os.path.exists(cpp)
+                 and os.path.getmtime(cpp) > os.path.getmtime(so)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", here], check=True,
+            subprocess.run(["make", "-C", here, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
         lib.fill_in_multiscale.argtypes = [

@@ -223,16 +223,20 @@ def shard_state_fsdp(mesh: Mesh, state: PyTree,
     return jax.tree_util.tree_map(_place_host_local, state, shardings)
 
 
-def jit_train_step_fsdp(train_step, mesh: Mesh, state: PyTree):
+def jit_train_step_fsdp(train_step, mesh: Mesh, state: PyTree,
+                        min_size: int = 2 ** 11):
     """jit the train step over a 2-D (dp, fsdp) mesh, ZeRO-3 style.
 
     Params and optimizer state live sharded over the ``fsdp`` axis; the batch
     is sharded over both axes. GSPMD inserts the all-gather of each weight
     before its matmul and the reduce-scatter of its gradient — the TPU-native
     equivalent of torch FSDP, with zero model-code changes. ``state`` is the
-    (host or device) TrainState used to derive per-leaf shardings.
+    (host or device) TrainState used to derive per-leaf shardings;
+    ``min_size`` must match the value given to ``shard_state_fsdp`` (a
+    mismatch would reshard mid-threshold leaves every step AND defeat
+    donation — the donated buffers would have the wrong sharding).
     """
-    st_sh = state_shardings_fsdp(mesh, state)
+    st_sh = state_shardings_fsdp(mesh, state, min_size)
     rep = replicated(mesh)
     batch_sh = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
     return jax.jit(

@@ -79,3 +79,19 @@ def test_tiny_frames_fall_back_and_native_never_reads_oob():
         wrapped = fill_missing(d.copy(), 1000.0, 1)
         cv2_out = fill_missing(d.copy(), 1000.0, 1, prefer_native=False)
         np.testing.assert_array_equal(wrapped, cv2_out)
+
+
+def test_far_depth_outliers_stay_finite_and_match_cv2():
+    """Depths far beyond max_depth (walls/windows) drive the bilateral's
+    exp argument below f32 underflow; the polynomial exp must clamp to 0
+    there instead of reconstructing a garbage exponent (round-3 review
+    finding: 50 m pixels returned -47,000 mm / non-finite)."""
+    rng = np.random.RandomState(0)
+    d = (1500 + 900 * rng.rand(120, 160)).astype(np.float32)
+    d[rng.rand(120, 160) < 0.3] = 0
+    d[:20] = 12000.0              # 12 m wall above the top mask
+    d[40:44, 60:70] = 50000.0     # 50 m outliers next to valid pixels
+    want = fill_missing(d.copy(), 1000.0, 1, prefer_native=False)
+    got = native.fill_missing_native(d.copy(), 1000.0, 1)
+    assert np.isfinite(got).all()
+    assert float(np.abs(got - want).max()) < 0.01

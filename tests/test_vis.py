@@ -112,3 +112,17 @@ def test_draw_detections_writes_png(tmp_path):
                           gt_srt=srt, gt_size=size, gt_class_ids=np.array([3]))
     assert os.path.exists(tmp_path / "real_test_0000_pred.png")
     assert out.any()
+
+
+def test_draw_detections_axes_and_labels(tmp_path):
+    """draw_axes/draw_labels route the prediction boxes through the
+    reference-style axes renderer and the label text box."""
+    img = np.zeros((480, 640, 3), np.uint8)
+    srt = _srt()[None]
+    size = np.array([[0.2, 0.3, 0.2]], np.float32)
+    out = draw_detections(img, str(tmp_path), "real_test", "0001", INTR,
+                          srt, size, np.array([5]), draw_gt=False,
+                          draw_axes=True, draw_labels=True)
+    colors = {tuple(c) for c in out.reshape(-1, 3) if c.any()}
+    assert (0, 255, 0) in colors          # y axis arrow (green)
+    assert (255, 255, 255) in colors      # label glyph pixels ("laptop")
