@@ -37,6 +37,10 @@ def parse_args():
                         "(1-D mesh, instance batch sharded); implies "
                         "--eval_batch (default 64), which must divide by N")
     p.add_argument("--vis", action="store_true", help="draw detection boxes")
+    p.add_argument("--vis_axes", action="store_true",
+                   help="axes-arrow box style (vis_utils.py:73-100)")
+    p.add_argument("--vis_labels", action="store_true",
+                   help="class-name label boxes (vis_utils.py:103-139)")
     p.add_argument("--log_dir", default=None)
     return p.parse_args()
 
@@ -156,7 +160,9 @@ def main():
                                 result["pred_RTs"], result["pred_scales"],
                                 result["pred_class_ids"],
                                 result["gt_RTs"], result["gt_scales"],
-                                result["gt_class_ids"])
+                                result["gt_class_ids"],
+                                draw_axes=args.vis_axes,
+                                draw_labels=args.vis_labels)
 
     evaluate(save_path, logger=logger)
 
