@@ -164,15 +164,46 @@ class BatchNorm(nn.Module):
         if train:
             axes = tuple(range(x.ndim - 1))
             count = int(np.prod([x.shape[a] for a in axes]))
-            mean = jnp.mean(x.astype(jnp.float32), axes)
-            var = jnp.mean(jnp.square(x.astype(jnp.float32)), axes) - jnp.square(mean)
-            var = jnp.maximum(var, 0.0)
+            # Stats run in f32 for f32/bf16 compute; f64 inputs keep f64 so
+            # double-precision torch-vs-flax parity runs are exact (the old
+            # always-f32 stats gave ~1e-3 relative var error on SA-stage
+            # rel-xyz activations where mean >> std — one-pass E[x^2]-E[x]^2
+            # cancellation — which the f64 full-model gradient parity test
+            # surfaced as ~5% pose drift).
+            sdt = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+            xs = x.astype(sdt)
+            if sdt == jnp.float64:
+                # SHIFTED one-pass variance E[(x-c)^2] - E[x-c]^2, origin c =
+                # the first batch row's channel mean: shrinks the
+                # cancellation term from (mean^2/var)*eps to ~eps/n, belt-
+                # and-braces on top of f64. Exact math is c-independent, so
+                # gradients equal torch's two-pass form; stop_gradient(c)
+                # prunes autodiff's cancelling-but-costly c terms. f64-ONLY:
+                # on the production path this same formulation measured
+                # +3.6 ms (6%) on the B=24 TPU train step (58.9-59.3 ->
+                # 62.7-63.3 ms; the c0 reduce serializes ahead of ~50 BN
+                # reduction fusions) — as costly as torch's two-pass
+                # (+2.8 ms) — buying precision below the bf16 activations'
+                # own ~1e-2 quantization. (A running-mean origin was tried
+                # and rejected: converted EMAs can sit arbitrarily far from
+                # the batch mean — the torch-vs-flax forward test caught 5%
+                # pose drift.)
+                c0 = lax.stop_gradient(jnp.mean(xs[:1], axes))
+                d = xs - c0
+                dmean = jnp.mean(d, axes)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(d), axes) - jnp.square(dmean), 0.0)
+                mean = dmean + c0
+            else:
+                mean = jnp.mean(xs, axes)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xs), axes) - jnp.square(mean), 0.0)
             if self.is_mutable_collection("bn_batch"):
                 bm = self.variable("bn_batch", "mean", lambda: jnp.zeros((c,), jnp.float32))
                 bv = self.variable("bn_batch", "var", lambda: jnp.ones((c,), jnp.float32))
-                bm.value = mean
+                bm.value = mean.astype(jnp.float32)
                 # torch tracks the *unbiased* variance in running_var
-                bv.value = var * (count / max(count - 1, 1))
+                bv.value = (var * (count / max(count - 1, 1))).astype(jnp.float32)
         else:
             mean, var = ra_mean.value, ra_var.value
 
@@ -228,15 +259,20 @@ def resize_bilinear(x: Array, out_h: int, out_w: int) -> Array:
 
 
 def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out, in) align-corners linear interpolation matrix."""
-    a = np.zeros((out_size, in_size), np.float32)
+    """(out, in) align-corners linear interpolation matrix.
+
+    Built in f64 (the production cast to the compute dtype yields bitwise
+    the same f32 matrices as before; f64 parity runs keep full precision —
+    f32-rounded weights shifted encoder outputs by ~1e-7, enough to flip
+    downstream relu masks in the double-precision torch-vs-flax test)."""
+    a = np.zeros((out_size, in_size), np.float64)
     if in_size == 1:
         a[:, 0] = 1.0
         return a
     pos = np.linspace(0.0, in_size - 1.0, out_size)
     lo = np.floor(pos).astype(np.int64)
     hi = np.minimum(lo + 1, in_size - 1)
-    w = (pos - lo).astype(np.float32)
+    w = pos - lo
     rows = np.arange(out_size)
     np.add.at(a, (rows, lo), 1.0 - w)
     np.add.at(a, (rows, hi), w)
@@ -264,8 +300,8 @@ def _shifted_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     zero padding: ``S[i, dy] = A[i + dy - 1]`` (zeros outside [0, out))."""
     a = _interp_matrix(in_size, out_size)
     a_pad = np.concatenate(
-        [np.zeros((1, in_size), np.float32), a,
-         np.zeros((1, in_size), np.float32)], axis=0)
+        [np.zeros((1, in_size), a.dtype), a,
+         np.zeros((1, in_size), a.dtype)], axis=0)
     return np.stack([a_pad[d:d + out_size] for d in range(3)], axis=1)
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import jax
+from jax import lax
 
 from istnet_tpu.ops import ball_query_pallas as _bq_pl
 from istnet_tpu.ops import fps_pallas as _fps_pl
@@ -55,14 +56,17 @@ def fp_interpolate(unknown, known, feats):
     """Whole FP gather stage (3-NN + inverse-distance weights + weighted
     interpolation) as ONE fused Pallas kernel on TPU; the three-op XLA
     composition elsewhere. Gradients flow into ``feats`` only (matching the
-    reference's non-diff ThreeNN, ``pointnet2_utils.py:144-146``); the XLA
-    fallback keeps its natural autodiff (coordinate paths are never
-    parameter-dependent in this model, so the difference is unobservable)."""
+    reference's non-diff ThreeNN, ``pointnet2_utils.py:144-146``) on BOTH
+    paths: the XLA fallback must stop_gradient the distances because its
+    natural autodiff hits d sqrt(0) = inf for points that are their own SA
+    centers (FPS centers are a subset of the unknown set, so exact-zero
+    distances are guaranteed) — caught by the full-model torch-vs-flax
+    gradient parity test as NaN d loss/d pts."""
     n = unknown.shape[1]
     if _on_tpu() and (n < 128 or n % 128 == 0):
         return _tnn_pl.fp_interpolate(unknown, known, feats)
     dist, idx = _xla.three_nn(unknown, known)
-    weight = _xla.three_interpolate_weights(dist)
+    weight = _xla.three_interpolate_weights(lax.stop_gradient(dist))
     return three_interpolate(feats, idx, weight)
 
 

@@ -198,7 +198,15 @@ def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
       (``interpolate_gpu.cu:38-60`` uses strict ``<``).
     """
     m = known.shape[1]
-    d2 = pairwise_d2(unknown, known)  # (B, N, M)
+    if unknown.dtype == jnp.float64:
+        # double-precision parity runs: the MXU dot-form (|a|^2+|b|^2-2ab)
+        # and the CUDA/golden direct form disagree at f32 rounding (~1e-7
+        # rel), which leaks into the inverse-distance weights; compute the
+        # direct form in f64 so torch-vs-flax comparisons are exact. The
+        # production f32/bf16 path keeps the dot form (it IS the TPU win).
+        d2 = jnp.sum((unknown[:, :, None, :] - known[:, None, :, :]) ** 2, -1)
+    else:
+        d2 = pairwise_d2(unknown, known)  # (B, N, M)
     lane = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
 
     def take_min(carry, _):
@@ -213,6 +221,9 @@ def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
     _, (dists, idxs) = lax.scan(take_min, d2, None, length=3)
     dist = jnp.moveaxis(dists, 0, -1)  # (B, N, 3)
     idx = jnp.moveaxis(idxs, 0, -1)
+    # distances are DECIDED in f32 (pairwise_d2, the CUDA semantic) but the
+    # sqrt runs in the caller's dtype so f64 parity runs stay double
+    dist = dist.astype(unknown.dtype) if unknown.dtype == jnp.float64 else dist
     return jnp.sqrt(jnp.maximum(dist, 0.0)), idx.astype(jnp.int32)
 
 

@@ -336,13 +336,22 @@ def _install_ext_stubs(torch):
 
     ext = sys.modules["pointnet2._ext"]
 
+    # Precision convention, mirroring istnet_tpu/ops/pointnet2.py's pinned
+    # CUDA semantics: ALL index decisions (fps, ball query, 3-nn) and the
+    # interpolation arithmetic run in FLOAT32 regardless of input dtype —
+    # our XLA ops deliberately cast these to f32. Feature gathers/scatters
+    # follow the input dtype, so the f64 gradient-parity test keeps the
+    # dense chains double while both sides agree BIT-EXACTLY on indices.
+
     def _d2(a, b):  # (m,3),(n,3) -> (m,n) f32 squared distances
-        return np.sum((a[:, None, :] - b[None, :, :]) ** 2,
+        a32, b32 = a.astype(np.float32), b.astype(np.float32)
+        return np.sum((a32[:, None, :] - b32[None, :, :]) ** 2,
                       axis=-1).astype(np.float32)
 
     def furthest_point_sampling(xyz, npoint):
         from istnet_tpu.ops.golden import fps_golden
-        return torch.from_numpy(fps_golden(xyz.numpy(), npoint))
+        return torch.from_numpy(
+            fps_golden(xyz.numpy().astype(np.float32), npoint))
 
     def gather_points(features, idx):  # (B,C,N), (B,np) -> (B,C,np)
         f, i = features.numpy(), idx.numpy()
@@ -374,12 +383,16 @@ def _install_ext_stubs(torch):
     def three_nn(unknown, known):
         # interpolate_gpu.cu:14-73 — returns SQUARED dists (the python
         # wrapper sqrts, pointnet2_utils.py:142); first-occurrence ties.
+        # Direct-form d2 in the INPUT dtype (unlike fps/ball-query, the
+        # distances here are VALUES — they become interpolation weights —
+        # so the f64 parity run needs them double; our three_nn mirrors
+        # this with a direct-form f64 branch).
         u, k = unknown.numpy(), known.numpy()
         b, n, _ = u.shape
-        dist2 = np.zeros((b, n, 3), np.float32)
+        dist2 = np.zeros((b, n, 3), u.dtype)
         idx = np.zeros((b, n, 3), np.int32)
         for bi in range(b):
-            d2 = _d2(u[bi], k[bi])
+            d2 = np.sum((u[bi][:, None, :] - k[bi][None, :, :]) ** 2, axis=-1)
             order = np.argsort(d2, kind="stable", axis=-1)[:, :3]
             idx[bi] = order
             dist2[bi] = np.take_along_axis(d2, order, axis=-1)
@@ -388,8 +401,40 @@ def _install_ext_stubs(torch):
     def three_interpolate(features, idx, weight):  # (B,c,m),(B,n,3),(B,n,3)
         f, i, w = features.numpy(), idx.numpy().astype(np.int64), weight.numpy()
         g = np.take_along_axis(f[:, :, None, :], i[:, None, :, :], axis=3)
-        out = np.sum(g * w[:, None, :, :], axis=-1, dtype=np.float32)
+        out = np.sum(g * w[:, None, :, :], axis=-1, dtype=f.dtype)
         return torch.from_numpy(np.ascontiguousarray(out))
+
+    # backward kernels (the reference's autograd.Functions call these from
+    # their .backward, pointnet2_utils.py:113/199/252): f32 scatter-adds,
+    # semantics of _ext_src/src/{sampling,group_points,interpolate}_gpu.cu
+    def gather_points_grad(grad_out, idx, n):  # (B,C,np), (B,np) -> (B,C,N)
+        g, i = grad_out.numpy(), idx.numpy().astype(np.int64)
+        b, c, npnt = g.shape
+        out = np.zeros((b, c, n), g.dtype)
+        for bi in range(b):
+            np.add.at(out[bi].T, i[bi], g[bi].T)
+        return torch.from_numpy(out)
+
+    def group_points_grad(grad_out, idx, n):  # (B,C,np,ns),(B,np,ns)->(B,C,N)
+        g, i = grad_out.numpy(), idx.numpy().astype(np.int64)
+        b, c = g.shape[:2]
+        out = np.zeros((b, c, n), g.dtype)
+        for bi in range(b):
+            np.add.at(out[bi].T, i[bi].reshape(-1),
+                      g[bi].reshape(c, -1).T)
+        return torch.from_numpy(out)
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        # (B,c,n), (B,n,3), (B,n,3) -> (B,c,m)
+        g = grad_out.numpy()
+        i = idx.numpy().astype(np.int64)
+        w = weight.numpy()
+        b, c, _ = g.shape
+        out = np.zeros((b, c, m), g.dtype)
+        for bi in range(b):
+            contrib = g[bi].T[:, None, :] * w[bi][:, :, None]  # (n, 3, c)
+            np.add.at(out[bi].T, i[bi].reshape(-1), contrib.reshape(-1, c))
+        return torch.from_numpy(out)
 
     ext.furthest_point_sampling = furthest_point_sampling
     ext.gather_points = gather_points
@@ -397,6 +442,9 @@ def _install_ext_stubs(torch):
     ext.group_points = group_points
     ext.three_nn = three_nn
     ext.three_interpolate = three_interpolate
+    ext.gather_points_grad = gather_points_grad
+    ext.group_points_grad = group_points_grad
+    ext.three_interpolate_grad = three_interpolate_grad
 
 
 @needs_reference
@@ -520,6 +568,126 @@ def test_full_model_forward_parity(ref, monkeypatch, train):
             j_out, {k: jnp.asarray(v) for k, v in labels.items()},
             gamma1=8.0, gamma2=10.0, freeze_world_enhancer=False)
         np.testing.assert_allclose(float(j_loss), t_loss, rtol=2e-4)
+
+
+@needs_reference
+def test_full_model_gradient_parity(ref, monkeypatch):
+    """The training objective has the same GRADIENTS: d loss / d {pts, rgb,
+    qo} through the ENTIRE reference network (torch autograd over the numpy
+    _ext stubs — the reference's own Function.backward wrappers call the
+    *_grad kernels) must match jax.grad through ours under converted
+    weights. Input grads exercise every layer's backward chain, including
+    the scatter-add semantics of gather/group/interpolate
+    (_ext_src/src/*_gpu.cu) and the custom VJPs of the fused kernels.
+
+    Run in FLOAT64 on both sides: at f32, ~1e-4 forward drift flips
+    subgradient routing at max/relu ties (both routings are valid
+    subgradients — ball-query pad slots guarantee exact ties), which made
+    an elementwise f32 comparison ill-posed (15% structured disagreement).
+    At f64, index decisions stay bit-identical (both sides pin them to f32
+    — CUDA semantics), the dense chains run double, residual drift comes
+    only from the deliberately-f32 interpolation islands (~1e-6).
+    This hunt also caught a REAL bug: the XLA fp_interpolate fallback
+    differentiated through sqrt(dist) at exact-zero distances -> NaN
+    d loss/d pts (fixed with stop_gradient, matching the reference's
+    non-diff ThreeNN)."""
+    import torch
+
+    import jax
+
+    from istnet_tpu.nn import layers, precision
+
+    _install_ext_stubs(torch)
+    resnet_mod = sys.modules["resnet"]
+    monkeypatch.setattr(resnet_mod, "resnet18",
+                        lambda pretrained=False: resnet_mod.ResNet(
+                            resnet_mod.BasicBlock, [2, 2, 2, 2]))
+    monkeypatch.setattr(layers.Dropout2d, "__call__",
+                        lambda self, x, train: x)
+
+    m = ref.ist_net.IST_Net()
+    _randomize(torch, m, 41)
+    m.double().train()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.Dropout2d):
+            mod.eval()
+
+    b, n, img = 2, 1024, 96
+    rng = np.random.RandomState(8)
+    rgb = rng.randn(b, img, img, 3)
+    pts = rng.randn(b, n, 3) * 0.1
+    choose = rng.randint(0, img * img, (b, n)).astype(np.int64)
+    cls = np.array([0, 3], np.int64)
+    qo = (rng.rand(b, n, 3) - 0.5) * 0.4
+    labels_np = {
+        "rotation_label": rng.randn(b, 3, 3),
+        "translation_label": rng.randn(b, 3) * 0.1,
+        "size_label": rng.rand(b, 3),
+        "qo": qo,
+    }
+
+    # ---- torch side (double)
+    t_rgb = torch.from_numpy(
+        np.ascontiguousarray(np.transpose(rgb, (0, 3, 1, 2)))).requires_grad_()
+    t_pts = torch.from_numpy(pts.copy()).requires_grad_()
+    t_qo = torch.from_numpy(qo.copy()).requires_grad_()
+    t_inputs = {"rgb": t_rgb, "pts": t_pts, "choose": torch.from_numpy(choose),
+                "category_label": torch.from_numpy(cls), "qo": t_qo}
+    t_out = m(t_inputs)
+    for k, v in labels_np.items():
+        t_out[k] = torch.from_numpy(v)
+    cfg = types.SimpleNamespace(
+        loss=types.SimpleNamespace(gamma1=8.0, gamma2=10.0),
+        freeze_world_enhancer=False)
+    t_loss = ref.ist_net.SupervisedLoss(cfg)(t_out)
+    t_loss.backward()
+    t_g = {"pts": t_pts.grad.numpy(),
+           "rgb": np.transpose(t_rgb.grad.numpy(), (0, 2, 3, 1)),
+           "qo": t_qo.grad.numpy()}
+
+    # ---- flax side (x64, converted weights cast to f64)
+    trees = C.convert_state_dict(
+        {k: v.detach().numpy().astype(np.float32)
+         for k, v in m.state_dict().items()}, "ist_net")
+    jax.config.update("jax_enable_x64", True)
+    precision.set_compute_dtype(np.float64)
+    try:
+        import jax.numpy as jnp
+
+        from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64), t)
+        variables = {"params": to64(trees["params"]),
+                     "batch_stats": to64(trees["batch_stats"])}
+        labels_j = {k: jnp.asarray(v, jnp.float64) for k, v in labels_np.items()}
+
+        def loss_fn(j_pts, j_rgb, j_qo):
+            inputs = {"rgb": j_rgb, "pts": j_pts, "qo": j_qo,
+                      "choose": jnp.asarray(choose, jnp.int32),
+                      "category_label": jnp.asarray(cls, jnp.int32)}
+            out, _ = ISTNet().apply(variables, inputs, train=True,
+                                    mutable=["batch_stats"])
+            total, _ = supervised_loss(out, labels_j, gamma1=8.0, gamma2=10.0,
+                                       freeze_world_enhancer=False)
+            return total
+
+        j_loss, j_grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            jnp.asarray(pts, jnp.float64), jnp.asarray(rgb, jnp.float64),
+            jnp.asarray(qo, jnp.float64))
+        j_g = {"pts": np.asarray(j_grads[0]), "rgb": np.asarray(j_grads[1]),
+               "qo": np.asarray(j_grads[2])}
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        precision.set_compute_dtype(np.float32)
+
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-5)
+    for k in ("pts", "rgb", "qo"):
+        # normalize by the grad scale: the comparison is about the chain,
+        # not the (huge) dynamic range across individual elements
+        scale = np.abs(t_g[k]).max() + 1e-300
+        np.testing.assert_allclose(j_g[k] / scale, t_g[k] / scale,
+                                   atol=1e-5, err_msg=f"grad {k}")
 
 
 # ---------------------------------------------------------------------------

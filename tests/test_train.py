@@ -74,9 +74,15 @@ def test_dp_train_step_8_devices():
             return {"y": nn.Dense(1)(x)}
 
     model = Toy()
+    rs = np.random.RandomState(0)
+    # labels must have nonzero mean: with t=0 the final Dense bias grad is
+    # 2*mean(y), and y = W@BN(x) + 0 has EXACTLY zero mean (BN output is
+    # zero-mean), so that grad is pure rounding noise — psum-vs-serial
+    # reassociation then flips its sign and Adam's first step amplifies the
+    # flip to ~lr, failing any sensible tolerance.
     batch = {
-        "inputs": {"x": jnp.asarray(np.random.RandomState(0).randn(16, 4), jnp.float32)},
-        "labels": {"t": jnp.zeros((16, 1))},
+        "inputs": {"x": jnp.asarray(rs.randn(16, 4), jnp.float32)},
+        "labels": {"t": jnp.asarray(1.0 + rs.randn(16, 1), jnp.float32)},
     }
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch["inputs"], train=True)
 
