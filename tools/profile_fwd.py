@@ -31,6 +31,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--target", default="fwd", choices=["fwd", "train"])
+    p.add_argument("--points", type=int, default=1024,
+                   help="points per instance (train target; e.g. 2048)")
+    p.add_argument("--freeze", action="store_true",
+                   help="freeze_world_enhancer two-phase mode (train target)")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--key", default="tf_op")
     p.add_argument("--json", action="store_true", help="machine-readable output")
@@ -66,8 +70,8 @@ def main() -> None:
                                                   make_optimizer, make_train_step)
         from istnet_tpu.utils.config import Config
 
-        model = ISTNet(nclass=6, freeze_world_enhancer=False)
-        dummy = g._make_inputs(b=1, n=1024, img=192, train=True)
+        model = ISTNet(nclass=6, freeze_world_enhancer=args.freeze)
+        dummy = g._make_inputs(b=1, n=args.points, img=192, train=True)
         variables = jax.jit(model.init, static_argnames="train")(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             dummy, train=True)
@@ -77,9 +81,10 @@ def main() -> None:
                              "decay_step": 4000, "bnm_clip": 0.01}})
         tx, _ = make_optimizer(cfg, 4000, variables["params"])
         step_fn = make_train_step(
-            model, lambda e, l: supervised_loss(e, l, 1.0, 10.0, False), tx,
-            cfg.bn, augment_fn=lambda bt, r: device_augment(bt, r),
-            preprocess_fn=make_train_preprocess())
+            model, lambda e, l: supervised_loss(
+                e, l, 1.0, 100.0 if args.freeze else 10.0, args.freeze),
+            tx, cfg.bn, augment_fn=lambda bt, r: device_augment(bt, r),
+            preprocess_fn=make_train_preprocess(sample_num=args.points))
         state_box = [create_train_state(variables["params"],
                                         variables["batch_stats"], tx)]
         batch = jax.tree_util.tree_map(jnp.asarray,
