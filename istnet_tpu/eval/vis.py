@@ -84,8 +84,10 @@ def draw_axes_box(img: np.ndarray, img_pts: np.ndarray, axes_pts: np.ndarray,
 def draw_text(draw_image: np.ndarray, bbox, text: str,
               draw_box: bool = False) -> np.ndarray:
     """Filled label box + text near a (y1, x1, y2, x2) detection bbox
-    (vis_utils.py:103-139), clamped inside a 640x480 frame with the
-    reference's exact 10-px margins and TRIPLEX face."""
+    (vis_utils.py:103-139) with the reference's exact 10-px margins and
+    TRIPLEX face. The reference hard-codes 635/475 clamps for its 640x480
+    NOCS frames; we derive the same 5-px inset from the actual image shape
+    (identical pixels at 640x480, correct placement on other sizes)."""
     font_face = cv2.FONT_HERSHEY_TRIPLEX
     font_scale = 1
     thickness = 1
@@ -93,8 +95,10 @@ def draw_text(draw_image: np.ndarray, bbox, text: str,
 
     bbox_margin = 10
     text_margin = 10
-    tl = (min(bbox[1] + bbox_margin, 635 - retval[0] - 2 * text_margin),
-          min(bbox[2] + bbox_margin, 475 - retval[1] - 2 * text_margin))
+    clamp_x = draw_image.shape[1] - 5  # 635 on the reference's 640x480 frame
+    clamp_y = draw_image.shape[0] - 5  # 475
+    tl = (min(bbox[1] + bbox_margin, clamp_x - retval[0] - 2 * text_margin),
+          min(bbox[2] + bbox_margin, clamp_y - retval[1] - 2 * text_margin))
     br = (tl[0] + retval[0] + 2 * text_margin,
           tl[1] + retval[1] + 2 * text_margin)
     # text_pos is the bottom-left corner of the text

@@ -39,6 +39,17 @@ def _build_and_load():
         except Exception:
             if not os.path.exists(so):
                 return None
+            # a prebuilt .so EXISTS but is older than the source and the
+            # rebuild failed: loading it could silently serve outdated kernel
+            # semantics on the default host depth-fill path — warn and fall
+            # back to the cv2 implementation instead
+            import warnings
+            warnings.warn(
+                "istnet_tpu.native: depth_fill.cpp is newer than the prebuilt "
+                "libistnet_native.so and `make -B` failed; refusing the stale "
+                "binary (falling back to the cv2 path). Rebuild manually with "
+                f"`make -C {here} -B`.", RuntimeWarning)
+            return None
     try:
         lib = ctypes.CDLL(so)
         lib.fill_in_multiscale.argtypes = [

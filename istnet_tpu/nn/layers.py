@@ -261,10 +261,13 @@ def resize_bilinear(x: Array, out_h: int, out_w: int) -> Array:
 def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) align-corners linear interpolation matrix.
 
-    Built in f64 (the production cast to the compute dtype yields bitwise
-    the same f32 matrices as before; f64 parity runs keep full precision —
-    f32-rounded weights shifted encoder outputs by ~1e-7, enough to flip
-    downstream relu masks in the double-precision torch-vs-flax test)."""
+    Built in f64 so f64 parity runs keep full precision (f32-rounded weights
+    shifted encoder outputs by ~1e-7, enough to flip downstream relu masks in
+    the double-precision torch-vs-flax test). The production f32 cast differs
+    from matrices built directly in f32 by at most 1 ulp (~6e-8) at some
+    sizes — round_f32(1 - w_f64) != 1 - round_f32(w) — and is the MORE
+    accurate of the two; don't rely on bit-stable resize outputs across this
+    construction change."""
     a = np.zeros((out_size, in_size), np.float64)
     if in_size == 1:
         a[:, 0] = 1.0

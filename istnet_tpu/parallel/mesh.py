@@ -50,7 +50,13 @@ def make_mesh_2d(dp: int, fsdp: int) -> Mesh:
                          f"have {len(devices)}")
     if dp * fsdp == len(devices) and devices[0].platform == "tpu":
         from jax.experimental import mesh_utils
-        grid = mesh_utils.create_device_mesh((dp, fsdp))
+        try:
+            grid = mesh_utils.create_device_mesh((dp, fsdp))
+        except Exception:
+            # create_device_mesh can raise for shapes that don't factor the
+            # physical topology; a plain reshape is always valid (just not
+            # guaranteed ICI-adjacent) — prefer working over optimal
+            grid = np.asarray(devices).reshape(dp, fsdp)
     else:
         grid = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
     return Mesh(grid, (DATA_AXIS, FSDP_AXIS))
