@@ -112,6 +112,8 @@ def main() -> None:
         "vs_baseline": round(value / REF_ESTIMATE, 3),
         "batch": 128 if b128 >= b32 else 32,
         "b32_value": round(b32, 1),
+        "b128_value": round(b128, 1),  # full surface: a peak-batch flip
+                                       # must be visible in the artifact
     }
 
     # secondary metric: FULL train-step throughput at the reference's

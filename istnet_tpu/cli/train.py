@@ -84,6 +84,12 @@ def main():
                           os.path.abspath(".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    # multi-host rendezvous (pod slices): no-op single-process; a pod run
+    # sets JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID (or
+    # auto-detects on cloud TPU). MUST precede any backend use.
+    from istnet_tpu.parallel import multihost
+    multihost.initialize()
+
     from istnet_tpu.data import DataLoader, TrainingDataset
     from istnet_tpu.nn import precision
     from istnet_tpu.train import checkpoints
@@ -95,8 +101,12 @@ def main():
     exp_name = os.path.splitext(os.path.basename(args.config))[0]
     log_dir = args.log_dir or os.path.join("log", exp_name)
     os.makedirs(log_dir, exist_ok=True)
-    logger = get_logger(path_file=os.path.join(log_dir, f"train_{int(time.time())}.log"))
-    logger.info(f"config: {args.config} -> {log_dir}")
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    suffix = f"_p{proc_id}" if n_proc > 1 else ""
+    logger = get_logger(path_file=os.path.join(
+        log_dir, f"train_{int(time.time())}{suffix}.log"))
+    logger.info(f"config: {args.config} -> {log_dir}"
+                + (f" (process {proc_id}/{n_proc})" if n_proc > 1 else ""))
 
     if cfg.get("compute_dtype", "float32") == "bfloat16":
         import jax.numpy as jnp
@@ -151,25 +161,32 @@ def main():
     dl_cfg = cfg.train_dataloader
     iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
     device_pre = bool(cfg.train_dataset.get("use_device_preprocess", False))
+    # config batch sizes are GLOBAL; every host loads only its own shard
+    # (reference solver feeds the whole batch from one process,
+    # solver.py:163-174 — the pod extension divides it per host)
+    syn_bs = multihost.per_host_batch_size(int(dl_cfg.syn_bs))
+    real_bs = multihost.per_host_batch_size(int(dl_cfg.real_bs))
+    # distinct per-host seeds so hosts sample disjoint data streams
+    seed0 = int(cfg.get("rd_seed", 1)) + proc_id * 7919
     syn_ds = TrainingDataset(cfg.train_dataset, args.data_dir, data_type="syn",
-                             num_img_per_epoch=iters_per_epoch * int(dl_cfg.syn_bs),
+                             num_img_per_epoch=iters_per_epoch * syn_bs,
                              use_fill_miss=bool(dl_cfg.use_fill_miss),
                              use_composed_img=bool(dl_cfg.use_composed_img),
                              per_obj=dl_cfg.get("per_obj", ""),
-                             seed=int(cfg.get("rd_seed", 1)),
+                             seed=seed0,
                              device_preprocess=device_pre)
     real_ds = TrainingDataset(cfg.train_dataset, args.data_dir,
                               data_type="real_withLabel",
-                              num_img_per_epoch=iters_per_epoch * int(dl_cfg.real_bs),
+                              num_img_per_epoch=iters_per_epoch * real_bs,
                               use_fill_miss=bool(dl_cfg.use_fill_miss),
                               use_composed_img=bool(dl_cfg.use_composed_img),
                               per_obj=dl_cfg.get("per_obj", ""),
-                              seed=int(cfg.get("rd_seed", 1)) + 1,
+                              seed=seed0 + 1,
                               device_preprocess=device_pre)
-    syn_loader = DataLoader(syn_ds, int(dl_cfg.syn_bs), shuffle=bool(dl_cfg.shuffle),
+    syn_loader = DataLoader(syn_ds, syn_bs, shuffle=bool(dl_cfg.shuffle),
                             drop_last=bool(dl_cfg.drop_last),
                             num_workers=int(dl_cfg.num_workers))
-    real_loader = DataLoader(real_ds, int(dl_cfg.real_bs), shuffle=bool(dl_cfg.shuffle),
+    real_loader = DataLoader(real_ds, real_bs, shuffle=bool(dl_cfg.shuffle),
                              drop_last=bool(dl_cfg.drop_last),
                              num_workers=int(dl_cfg.num_workers))
 

@@ -37,9 +37,28 @@ def initialize(**kwargs) -> None:
     jax.process_count()). When a coordinator IS configured (kwargs or the
     standard env vars), failures propagate — silently degrading a pod run to
     N independent single-host runs would train N wrong models quietly.
+
+    Env-var spec (the product path for ``cli/train.py`` on a pod slice —
+    set on every host, no code changes):
+
+        JAX_COORDINATOR_ADDRESS=host0:1234
+        JAX_NUM_PROCESSES=4
+        JAX_PROCESS_ID=<0..3>
+
+    Cloud-TPU pod slices that auto-detect (GKE/Slurm metadata) need none of
+    these; ``jax.distributed.initialize()`` resolves them itself.
     """
     import os
 
+    if not kwargs:
+        addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"))
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if addr and nproc is not None and pid is not None:
+            kwargs = dict(coordinator_address=addr,
+                          num_processes=int(nproc),
+                          process_id=int(pid))
     configured = bool(kwargs) or any(
         os.environ.get(v) for v in
         ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))

@@ -50,6 +50,38 @@ def restore_checkpoint(ckpt_dir: str, epoch: int, template: PyTree) -> PyTree:
         return mgr.restore(epoch, args=ocp.args.StandardRestore(template))
 
 
+def restore_checkpoint_sharded(ckpt_dir: str, epoch: int, state,
+                               shardings) -> tuple[Any, dict]:
+    """Restore a TrainState directly into sharded jax.Arrays (FSDP resume).
+
+    ``state`` is a TrainState-shaped template (host numpy or device arrays —
+    only shapes/dtypes are read); ``shardings`` a matching tree of
+    NamedShardings (``parallel.state_shardings_fsdp``). Orbax reads each
+    process's shards only — no host-RAM-sized gather, the multi-host-safe
+    path (a plain ``restore_checkpoint`` materializes every array fully on
+    every host). Returns ``(sharded_state, meta)``.
+    """
+    def abstract(x, s):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+    template = {
+        "params": jax.tree_util.tree_map(abstract, state.params,
+                                         shardings.params),
+        "batch_stats": jax.tree_util.tree_map(abstract, state.batch_stats,
+                                              shardings.batch_stats),
+        "opt_state": jax.tree_util.tree_map(abstract, state.opt_state,
+                                            shardings.opt_state),
+        "step": abstract(state.step, shardings.step),
+        "meta": {"epoch": 0},
+    }
+    with _mgr(ckpt_dir) as mgr:
+        payload = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+    new_state = state.replace(
+        step=payload["step"], params=payload["params"],
+        batch_stats=payload["batch_stats"], opt_state=payload["opt_state"])
+    return new_state, payload["meta"]
+
+
 def restore_for_eval(ckpt_dir: str, epoch: int) -> dict:
     """Restore params + batch_stats without a template (for test/bench CLIs)."""
     with _mgr(ckpt_dir) as mgr:

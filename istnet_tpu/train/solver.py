@@ -2,10 +2,21 @@
 
 Rebuild of the reference ``utils/solver.py:19-215`` on the functional train
 step: zip the CAMERA (syn) and REAL loaders, concatenate each pair of batches
-(``solver.py:163-174``), run one jitted DP train step (the reference's
+(``solver.py:163-174``), run one jitted train step (the reference's
 per-subset weighted loss equals the concatenated-batch loss — every term is a
 batch mean), log running averages every ``per_write`` iters, checkpoint every
 5 epochs with resume metadata.
+
+Parallelism is config-driven (the reference wires its one strategy into the
+entry point, ``train.py:98-99``; this is the TPU-native ladder):
+
+- default: 1-D data-parallel mesh, state replicated, batch sharded;
+- ``parallel: {fsdp: N [, dp: M]}``: 2-D (dp, fsdp) mesh, params/optimizer
+  state ZeRO-3-sharded over ``fsdp``, batch data-parallel over both axes,
+  checkpoints saved as sharded jax.Arrays;
+- multi-host (``jax.process_count() > 1`` after ``multihost.initialize``):
+  each host's loaders carry 1/n_proc of the global batch, assembled via
+  ``multihost.global_batch``; works under both layouts.
 """
 
 from __future__ import annotations
@@ -14,8 +25,13 @@ import time
 
 import jax
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
-from istnet_tpu.parallel import jit_train_step_dp, make_mesh, replicate, shard_batch
+from istnet_tpu.parallel import (
+    jit_train_step_dp, jit_train_step_fsdp, make_mesh, make_mesh_2d,
+    replicate, shard_state_fsdp)
+from istnet_tpu.parallel import multihost
+from istnet_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
 from istnet_tpu.train import checkpoints
 from istnet_tpu.train.train_state import TrainState, create_train_state, make_train_step
 from istnet_tpu.utils.logging import LogBuffer, MetricWriter
@@ -59,17 +75,53 @@ class Solver:
         self.iters_per_epoch = int(cfg.get("num_mini_batch_per_epoch", 4000))
         self.start_epoch = start_epoch
 
-        # mesh size must divide the global batch (batch dim is sharded);
-        # shrink to the largest usable device count
-        global_bs = sum(l.batch_size for l in (syn_loader, real_loader)
-                        if l is not None) or 1
-        nd = min(n_devices or jax.device_count(), jax.device_count())
-        while global_bs % nd:
-            nd -= 1
-        if logger is not None and nd != jax.device_count():
-            logger.info(f"using {nd}/{jax.device_count()} devices "
-                        f"(global batch {global_bs})")
-        self.mesh = make_mesh(nd)
+        # ---- parallel layout ------------------------------------------
+        # config key ``parallel: {fsdp: N [, dp: M]}`` selects a 2-D
+        # (dp, fsdp) mesh with ZeRO-3 parameter/optimizer-state sharding;
+        # default is the 1-D DP mesh (the reference's DataParallel
+        # equivalent, train.py:98-99). Multi-process (pod) runs are
+        # detected from jax.process_count(): the loaders then carry only
+        # THIS host's shard of the global batch (cli.train divides the
+        # config's global batch sizes per host).
+        par = cfg.get("parallel", {}) or {}
+        self.fsdp = int(par.get("fsdp", 1))
+        self.n_proc = jax.process_count()
+        local_bs = sum(l.batch_size for l in (syn_loader, real_loader)
+                       if l is not None) or 1
+        global_bs = local_bs * self.n_proc
+        if self.fsdp > 1:
+            dp = int(par.get("dp", 0)) or jax.device_count() // self.fsdp
+            if dp * self.fsdp != jax.device_count() and self.n_proc > 1:
+                raise ValueError(
+                    f"multi-process mesh must cover all devices: dp*fsdp = "
+                    f"{dp * self.fsdp} != {jax.device_count()}")
+            if global_bs % (dp * self.fsdp):
+                raise ValueError(
+                    f"global batch {global_bs} not divisible by mesh size "
+                    f"{dp}x{self.fsdp}")
+            self.mesh = make_mesh_2d(dp, self.fsdp)
+            if logger is not None:
+                logger.info(f"parallel: FSDP mesh dp={dp} fsdp={self.fsdp} "
+                            f"({self.n_proc} process(es))")
+        else:
+            # mesh size must divide the global batch (batch dim is sharded);
+            # single-process runs shrink to the largest usable device count
+            nd = min(n_devices or jax.device_count(), jax.device_count())
+            if self.n_proc > 1:
+                if nd != jax.device_count() or global_bs % nd:
+                    raise ValueError(
+                        f"multi-process DP requires the global batch "
+                        f"({global_bs}) divisible by ALL {jax.device_count()} "
+                        "devices")
+            else:
+                while global_bs % nd:
+                    nd -= 1
+            if logger is not None and nd != jax.device_count():
+                logger.info(f"using {nd}/{jax.device_count()} devices "
+                            f"(global batch {global_bs})")
+            self.mesh = make_mesh(nd)
+        self._batch_spec = (P((DATA_AXIS, FSDP_AXIS)) if self.fsdp > 1
+                            else P(DATA_AXIS))
 
         preprocess_fn = None
         td = cfg.get("train_dataset", {})
@@ -105,10 +157,19 @@ class Solver:
 
         step_fn = make_train_step(model, loss_fn, tx, cfg.bn, augment_fn=augment_fn,
                                   preprocess_fn=preprocess_fn)
-        self.train_step = jit_train_step_dp(step_fn, self.mesh)
         state = start_state or create_train_state(
             variables["params"], variables["batch_stats"], tx)
-        self.state = replicate(self.mesh, state)
+        if self.fsdp > 1:
+            self.train_step = jit_train_step_fsdp(step_fn, self.mesh, state)
+            self.state = shard_state_fsdp(self.mesh, state)
+        else:
+            self.train_step = jit_train_step_dp(step_fn, self.mesh)
+            self.state = replicate(self.mesh, state)
+        # replicated single-process state checkpoints as host numpy (cheap
+        # gather); FSDP-sharded or multi-process state is handed to Orbax as
+        # jax.Arrays — each host writes only its own shards, and a
+        # jax.device_get would crash on non-addressable shards
+        self._ckpt_device_get = (self.fsdp == 1 and self.n_proc == 1)
         self.rng = jax.random.PRNGKey(int(cfg.get("rd_seed", 1)))
 
     def _log(self, msg: str) -> None:
@@ -122,7 +183,9 @@ class Solver:
             self.train_epoch(epoch)
             if epoch % 5 == 0 and self.log_dir is not None:
                 checkpoints.save_checkpoint(
-                    f"{self.log_dir}/ckpt", epoch, jax.device_get(self.state))
+                    f"{self.log_dir}/ckpt", epoch,
+                    jax.device_get(self.state) if self._ckpt_device_get
+                    else self.state)
                 self._log(f"saved checkpoint at epoch {epoch}")
         return self.state
 
@@ -182,9 +245,14 @@ class Solver:
             n_done = i + 1
             merged = concat_batches(syn_np, real_np) if real_np is not None else syn_np
             # raw-array mode ships the flat raw batch; the split into
-            # inputs/labels happens on device inside preprocess_fn
-            batch = shard_batch(self.mesh, merged if self.device_preprocess
-                                else split_batch(merged))
+            # inputs/labels happens on device inside preprocess_fn.
+            # multihost.global_batch assembles the per-host shards into one
+            # global batch-sharded jax.Array tree (single-process it is a
+            # plain device_put under the same sharding)
+            batch = multihost.global_batch(
+                self.mesh,
+                merged if self.device_preprocess else split_batch(merged),
+                spec=self._batch_spec)
             t_data = time.time() - t_data0
 
             self.rng, sub = jax.random.split(self.rng)

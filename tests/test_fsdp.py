@@ -153,3 +153,62 @@ def test_fsdp_runs_multiple_steps_and_donates():
 def test_mesh_2d_validates_device_count():
     with pytest.raises(ValueError):
         make_mesh_2d(dp=8, fsdp=2)
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """Save an FSDP-sharded TrainState with Orbax, restore it BOTH ways
+    (sharded via restore_checkpoint_sharded, and to host numpy via the plain
+    template restore), resume one step on each, and compare to the
+    never-checkpointed trajectory — epoch-5 checkpointing under a 2x4 mesh
+    must be lossless and resharding-exact."""
+    assert jax.device_count() == 8
+    from istnet_tpu.train import checkpoints
+
+    step_fn, state, batch = _setup()
+    mesh = make_mesh_2d(dp=2, fsdp=4)
+    fsdp_step = jit_train_step_fsdp(step_fn, mesh, state)
+    st = shard_state_fsdp(mesh, state)
+    b = shard_batch_2d(mesh, batch)
+
+    st, _ = fsdp_step(st, b, jax.random.PRNGKey(0))
+
+    # save the SHARDED state directly (what Solver.solve does for fsdp>1);
+    # Orbax writes per-shard, no jax.device_get
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoints.save_checkpoint(ckpt_dir, 5, st)
+
+    # continue the uncheckpointed trajectory one more step
+    ref_state, ref_metrics = fsdp_step(st, b, jax.random.PRNGKey(1))
+    ref_params = jax.device_get(ref_state.params)
+
+    # (a) sharded restore: straight back into the 2x4 shardings
+    host_template = jax.device_get(
+        shard_state_fsdp(mesh, _setup()[1]))  # fresh state, same structure
+    shardings = state_shardings_fsdp(mesh, host_template)
+    restored, meta = checkpoints.restore_checkpoint_sharded(
+        ckpt_dir, 5, host_template, shardings)
+    assert meta["epoch"] == 5
+    for leaf in jax.tree_util.tree_leaves(restored.params):
+        assert leaf.sharding.mesh.shape == {"dp": 2, "fsdp": 4}
+    res_state, res_metrics = fsdp_step(restored, b, jax.random.PRNGKey(1))
+    assert float(res_metrics["loss"]) == float(ref_metrics["loss"])
+    for a, r in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(jax.device_get(res_state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+    # (b) host restore of the same sharded checkpoint (the CLI resume path),
+    # re-sharded by the Solver: same trajectory
+    payload = checkpoints.restore_checkpoint(
+        ckpt_dir, 5,
+        {"params": host_template.params,
+         "batch_stats": host_template.batch_stats,
+         "opt_state": host_template.opt_state,
+         "step": host_template.step, "meta": {"epoch": 0}})
+    st2 = shard_state_fsdp(mesh, host_template.replace(
+        step=payload["step"], params=payload["params"],
+        batch_stats=payload["batch_stats"], opt_state=payload["opt_state"]))
+    res2, m2 = fsdp_step(st2, b, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) == float(ref_metrics["loss"])
+    for a, r in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(jax.device_get(res2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
