@@ -201,9 +201,11 @@ class BatchNorm(nn.Module):
             if self.is_mutable_collection("bn_batch"):
                 bm = self.variable("bn_batch", "mean", lambda: jnp.zeros((c,), jnp.float32))
                 bv = self.variable("bn_batch", "var", lambda: jnp.ones((c,), jnp.float32))
-                bm.value = mean.astype(jnp.float32)
+                # published in the stats dtype (f32 in production; f64 under
+                # x64 so optimizer-trajectory parity runs stay double)
+                bm.value = mean.astype(sdt)
                 # torch tracks the *unbiased* variance in running_var
-                bv.value = (var * (count / max(count - 1, 1))).astype(jnp.float32)
+                bv.value = (var * (count / max(count - 1, 1))).astype(sdt)
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -690,6 +690,278 @@ def test_full_model_gradient_parity(ref, monkeypatch):
                                    atol=1e-5, err_msg=f"grad {k}")
 
 
+@needs_reference
+@pytest.mark.parametrize("freeze", [False, True], ids=["unfrozen", "frozen"])
+def test_optimizer_trajectory_parity(ref, monkeypatch, freeze):
+    """The last unproven link to training parity (VERDICT r3 item 2): N real
+    update steps of the COMPOSED training recurrence track torch's, in f64.
+
+    Torch side reproduces the reference's actual recurrence exactly
+    (utils/solver.py:40-49, 85-122): Adam with TORCH DEFAULTS — the reference
+    never passes its config betas/eps — over requires_grad params, torch
+    ``CyclicLR.step(iter)`` called BEFORE each update, ``BNMomentumScheduler``
+    re-setting every BN's momentum from the iteration count, SupervisedLoss
+    per config. Ours is ``make_train_step`` + ``make_optimizer`` + the
+    scheduled BN-EMA. Small step_size_up / decay_step make the LR and BN
+    momentum actually MOVE across the 4 steps, so any off-by-one in either
+    schedule composition shifts the trajectory. Both the default and the
+    frozen-world-enhancer recipes are driven (the frozen one adds the optax
+    multi_transform masking vs torch's requires_grad filtering).
+
+    Checked: per-step losses, final params, and final BN running stats
+    (unbiased-var EMA under the scheduled momentum), compared through
+    ``export_state_dict`` key-by-key."""
+    import torch
+
+    import jax
+
+    from istnet_tpu.nn import layers, precision
+
+    _install_ext_stubs(torch)
+    resnet_mod = sys.modules["resnet"]
+    monkeypatch.setattr(resnet_mod, "resnet18",
+                        lambda pretrained=False: resnet_mod.ResNet(
+                            resnet_mod.BasicBlock, [2, 2, 2, 2]))
+    monkeypatch.setattr(layers.Dropout2d, "__call__",
+                        lambda self, x, train: x)
+
+    steps, b, n, img = 4, 2, 1024, 96
+    max_epoch, iters_per_epoch = 3, 12          # step_size_up = 6: lr moves
+    bn_cfg = dict(bn_momentum=0.9, bn_decay=0.5, decay_step=2, bnm_clip=0.01)
+    gamma1, gamma2 = 8.0, (100.0 if freeze else 10.0)  # freeze yaml: gamma2=100
+
+    def make_data(k):
+        rng = np.random.RandomState(100 + k)
+        inputs = {
+            "rgb": rng.randn(b, img, img, 3),
+            "pts": rng.randn(b, n, 3) * 0.1,
+            "choose": rng.randint(0, img * img, (b, n)).astype(np.int64),
+            "category_label": np.array([k % 6, (k + 3) % 6], np.int64),
+            "qo": (rng.rand(b, n, 3) - 0.5) * 0.4,
+        }
+        labels = {
+            "rotation_label": rng.randn(b, 3, 3),
+            "translation_label": rng.randn(b, 3) * 0.1,
+            "size_label": rng.rand(b, 3),
+            "qo": inputs["qo"],
+        }
+        return inputs, labels
+
+    # ---- torch side: the reference recurrence, verbatim, in double
+    m = ref.ist_net.IST_Net(nclass=6, freeze_world_enhancer=freeze)
+    _randomize(torch, m, 51)
+    m.double().train()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.Dropout2d):
+            mod.eval()
+    if freeze:  # train.py:116-118
+        for name, param in m.named_parameters():
+            if "world_enhancer" in name:
+                param.requires_grad = False
+        opt_params = filter(lambda p: p.requires_grad, m.parameters())
+    else:
+        opt_params = m.parameters()
+    # solver.py:40-43: lr/weight_decay only — betas/eps stay TORCH DEFAULTS
+    optimizer = torch.optim.Adam(opt_params, lr=1e-4, weight_decay=0.0)
+    lr_sched = torch.optim.lr_scheduler.CyclicLR(
+        optimizer, base_lr=1e-5, max_lr=1e-3,
+        step_size_up=max_epoch * iters_per_epoch // 6, mode="triangular",
+        cycle_momentum=False)  # solver.py:45-46
+    bnm_lmbd = lambda it: max(
+        bn_cfg["bn_momentum"] * bn_cfg["bn_decay"] ** (int(it / bn_cfg["decay_step"])),
+        bn_cfg["bnm_clip"])  # solver.py:48
+
+    def set_bn_momentum(mom):
+        for mod in m.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.momentum = mom
+
+    # the initial weights must be f32-representable: conversion goes through
+    # float32 (the production checkpoint dtype) and both sides then run the
+    # SAME f64 values
+    init_sd_f32 = {k: (v.detach().numpy() if v.dtype not in
+                       (torch.float32, torch.float64)
+                       else v.detach().numpy().astype(np.float32))
+                   for k, v in m.state_dict().items()}
+    with torch.no_grad():
+        for k, v in m.state_dict().items():
+            if v.dtype == torch.float64:
+                v.copy_(torch.from_numpy(init_sd_f32[k].astype(np.float64)))
+
+    cfg_t = types.SimpleNamespace(
+        loss=types.SimpleNamespace(gamma1=gamma1, gamma2=gamma2),
+        freeze_world_enhancer=freeze)
+    t_losses = []
+    cum_lr = 0.0  # the max distance a pure-noise element can random-walk
+    for k in range(steps):
+        inputs, labels = make_data(k)
+        lr_sched.step(k)          # BEFORE the update (solver.py:88-89)
+        cum_lr += optimizer.param_groups[0]["lr"]
+        set_bn_momentum(bnm_lmbd(k))  # solver.py:91-92
+        optimizer.zero_grad()
+        t_in = {
+            "rgb": torch.from_numpy(np.ascontiguousarray(
+                np.transpose(inputs["rgb"], (0, 3, 1, 2)))),
+            "pts": torch.from_numpy(inputs["pts"]),
+            "choose": torch.from_numpy(inputs["choose"]),
+            "category_label": torch.from_numpy(inputs["category_label"]),
+            "qo": torch.from_numpy(inputs["qo"]),
+        }
+        out = m(t_in)
+        for kk, vv in labels.items():
+            out[kk] = torch.from_numpy(vv)
+        loss = ref.ist_net.SupervisedLoss(cfg_t)(out)
+        loss.backward()
+        optimizer.step()
+        t_losses.append(float(loss.detach()))
+        if k == 0:
+            lr0 = optimizer.param_groups[0]["lr"]
+            t_step1_sd = {kk: v.detach().numpy().copy()
+                          for kk, v in m.state_dict().items()}
+    t_final_sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    # ---- flax side: make_optimizer + make_train_step, x64
+    trees = C.convert_state_dict(init_sd_f32, "ist_net")
+    jax.config.update("jax_enable_x64", True)
+    precision.set_compute_dtype(np.float64)
+    try:
+        import jax.numpy as jnp
+
+        from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+        from istnet_tpu.train.train_state import (
+            create_train_state, make_optimizer, make_train_step)
+        from istnet_tpu.utils.config import Config
+
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64), t)
+        params = to64(trees["params"])
+        batch_stats = to64(trees["batch_stats"])
+        # the reference yaml's betas/eps are PRESENT in the config and
+        # IGNORED by its solver; passing them here (not as adam_betas/
+        # adam_eps) must leave the trajectory on torch defaults
+        cfg_j = Config({
+            "optimizer": {"name": "Adam", "lr": 1e-4, "betas": [0.5, 0.999],
+                          "eps": 1e-6, "weight_decay": 0.0},
+            "max_epoch": max_epoch,
+            "bn": bn_cfg,
+        })
+        model = ISTNet(nclass=6, freeze_world_enhancer=freeze)
+        tx, _ = make_optimizer(cfg_j, iters_per_epoch, params,
+                               frozen_prefix="world_enhancer" if freeze else None)
+
+        def loss_fn(end_points, labels):
+            return supervised_loss(end_points, labels, gamma1=gamma1,
+                                   gamma2=gamma2, freeze_world_enhancer=freeze)
+
+        step_fn = jax.jit(make_train_step(model, loss_fn, tx, cfg_j.bn))
+        state = create_train_state(params, batch_stats, tx)
+        j_losses = []
+        for k in range(steps):
+            inputs, labels = make_data(k)
+            batch = {
+                "inputs": {
+                    "rgb": jnp.asarray(inputs["rgb"]),
+                    "pts": jnp.asarray(inputs["pts"]),
+                    "choose": jnp.asarray(inputs["choose"], jnp.int32),
+                    "category_label": jnp.asarray(inputs["category_label"],
+                                                  jnp.int32),
+                    "qo": jnp.asarray(inputs["qo"]),
+                },
+                "labels": {kk: jnp.asarray(vv) for kk, vv in labels.items()},
+            }
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(k))
+            j_losses.append(float(metrics["loss"]))
+            if k == 0:
+                j_step1 = C.export_state_dict(
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    "ist_net")
+        j_final = C.export_state_dict(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, "ist_net")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        precision.set_compute_dtype(np.float32)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-5)
+
+    # --- STEP-1 exact comparison: the sharpest instrument. After ONE update
+    # both sides hold params = init - lr0 * mhat/(sqrt(vhat)+eps) computed
+    # from gradients that agree to f64 roundoff (measured relmax ~5e-8), so
+    # the 90% bulk must match to well under 0.5% of lr0 — which pins base_lr,
+    # betas, eps (a 1e-6-eps mistake shifts the bulk by ~1% of lr0) and the
+    # freeze masking. Outliers: elements with |g| <~ eps get
+    # delta-ratio ~ delta-g/eps = O(1), so the hard cap is ~lr0.
+    assert set(j_step1) == set(t_step1_sd)
+    for key in sorted(t_step1_sd):
+        if key.endswith("num_batches_tracked") or ".feats.fc." in key:
+            continue
+        diff1 = np.abs(np.asarray(j_step1[key], np.float64) - t_step1_sd[key])
+        assert diff1.max() <= 1e-9 + 1.2 * lr0, (
+            f"step1 {key}: max diff {diff1.max():.3e} vs lr0 {lr0:.1e}")
+        if diff1.size >= 10_000:
+            assert np.quantile(diff1, 0.9) <= 1e-9 + 0.005 * lr0, (
+                f"step1 {key}: 90% quantile {np.quantile(diff1, 0.9):.3e}")
+
+    assert set(j_final) == set(t_final_sd)
+    for key in sorted(t_final_sd):
+        if key.endswith("num_batches_tracked") or ".feats.fc." in key:
+            continue
+        t_v = t_final_sd[key]
+        j_v = j_final[key]
+        # tolerance scaled to how much this tensor actually MOVED: residual
+        # f64 drift comes only from the deliberately-f32 interpolation
+        # islands (~1e-6 relative on grads), so 1e-3 of the trajectory
+        # displacement is a wide margin while zero-motion tensors (frozen
+        # subtree!) are compared near-exactly
+        moved = np.abs(t_v - init_sd_f32[key].astype(np.float64)).max()
+        atol = 1e-9 + 1e-3 * moved
+        diff = np.abs(np.asarray(j_v, np.float64) - t_v)
+        # Two noise classes survive f64 (both bounded by the cumulative LR,
+        # since Adam's per-step move is at most ~lr):
+        # (a) params whose TRUE grad ~cancels (a bias feeding a downstream
+        #     BN: the normalization removes any bias shift) random-walk by
+        #     +-lr/step on reduction-order noise in BOTH frameworks,
+        #     uncorrelated — measured: 5/16 elements of an SA BN bias at
+        #     4% of cum_lr;
+        # (b) isolated weight elements whose grad reduction cancels
+        #     near-perfectly sign-flip the same way — measured 3-4 per 1e5.
+        # A persistent-sign noise walk can physically reach ~cum_lr (one
+        # FP conv element measured 0.59*cum_lr), so the max criterion is a
+        # gross-outlier cap; BROAD shifts — the signature of a real
+        # composition bug (schedule off-by-one, wrong betas/eps, bad
+        # momentum: every element moves by ~1e-4, >> the 1e-6-scale atol) —
+        # are caught by the bulk quantile below.
+        assert diff.max() <= atol + 1.5 * cum_lr, (
+            f"{key}: max diff {diff.max():.3e} vs moved {moved:.3e}, "
+            f"cum_lr {cum_lr:.3e}")
+        if diff.size >= 10_000:  # bulk agreement on large tensors
+            # Multi-step noise floor: Adam's first step jolts every param by
+            # ~+-lr; many coordinates' gradients then flip sign, the m
+            # accumulator near-cancels, and those ratios become sensitive to
+            # f64 roundoff — a BULK walk of ~1% of cum_lr that torch-vs-torch
+            # with a different summation order would show too (one-step
+            # grads agree to relmax ~5e-8, measured). An LR-schedule
+            # off-by-one still shifts the bulk by ~0.64*cum_lr*|ratio|
+            # (~1e-4 here), 5-10x above these bounds; the step-1 comparison
+            # above pins the optimizer constants far tighter.
+            assert np.quantile(diff, 0.9) <= atol + 0.02 * cum_lr, (
+                f"{key}: 90% quantile {np.quantile(diff, 0.9):.3e} "
+                f"exceeds {atol + 0.02 * cum_lr:.3e}")
+            # The extreme tail is noise-dominated and NOT worth pinning
+            # tightly: the worst 0.1% of elements of individual tensors
+            # measured 0.06-0.09*cum_lr across runs (an FP conv, then an SA
+            # conv — different tensors on different tolerance-probe runs),
+            # pure persistent-sign random walk. A real composition bug moves
+            # the BULK (above); this is only a net between the bulk and the
+            # gross-outlier cap, at 2.8x the measured noise.
+            assert np.quantile(diff, 0.999) <= atol + 0.25 * cum_lr, (
+                f"{key}: 99.9% quantile {np.quantile(diff, 0.999):.3e} "
+                f"exceeds {atol + 0.25 * cum_lr:.3e}")
+        if freeze and key.startswith("world_enhancer.") and "running" not in key:
+            assert moved == 0.0, f"frozen param moved on the torch side: {key}"
+
+
 # ---------------------------------------------------------------------------
 # 3. reverse direction (flax -> torch export)
 # ---------------------------------------------------------------------------
