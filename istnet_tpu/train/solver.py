@@ -170,6 +170,12 @@ class Solver:
         # jax.Arrays — each host writes only its own shards, and a
         # jax.device_get would crash on non-addressable shards
         self._ckpt_device_get = (self.fsdp == 1 and self.n_proc == 1)
+        # multi-process: the first collective of the first step EXECUTION
+        # opens the gloo/ICI communicators, whose handshake timeout (30 s on
+        # CPU gloo) is far shorter than possible per-process jit-compile skew
+        # (minutes for the full model). AOT-compile + barrier before the
+        # first execution bounds that skew (see multihost.barrier).
+        self._needs_compile_barrier = self.n_proc > 1
         self.rng = jax.random.PRNGKey(int(cfg.get("rd_seed", 1)))
 
     def _log(self, msg: str) -> None:
@@ -256,6 +262,16 @@ class Solver:
             t_data = time.time() - t_data0
 
             self.rng, sub = jax.random.split(self.rng)
+            if self._needs_compile_barrier:
+                # compile apart, execute together: replace the jitted step
+                # with its AOT-compiled executable (same signature — shapes
+                # are static for the whole run), then rendezvous so every
+                # process opens the communicators within the gloo handshake
+                # timeout instead of skewed by its own compile time
+                self.train_step = self.train_step.lower(
+                    self.state, batch, sub).compile()
+                multihost.barrier("istnet_train_step_compiled")
+                self._needs_compile_barrier = False
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, batch, sub)
             inflight.append((i, metrics, t_data, time.time() - t0))
