@@ -41,7 +41,11 @@ import numpy as np
 REF_ESTIMATE = 250.0  # FLOP-audited as-shipped reference estimate (BASELINE.md)
 WARMUP = 1
 ITERS = 3
-CHAIN = 10
+# base chain length at B=128; scaled up at smaller batches (see _throughput).
+# 30 puts the one ~30 ms tunnel sync per chain at ~2% of a ~1.4 s chain —
+# round-3's CHAIN=10 still taxed every batch ~6%, under-reporting the
+# device-profile throughput by that margin.
+CHAIN = 30
 
 
 def _throughput(fn, args, batch: int) -> float:

@@ -85,7 +85,8 @@ class TorchConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array, padding: int | None = None,
                  fold_resize2: bool = False,
-                 fold_kernel: bool = False) -> Array:
+                 fold_kernel: bool = False,
+                 fold_epilogue: Array | None = None) -> Array:
         """``padding`` overrides the attribute at call time (same parameters;
         used by the sparse point-decode path to run a padded conv on
         pre-extracted patches with padding 0).
@@ -96,6 +97,11 @@ class TorchConv(nn.Module):
 
         ``fold_kernel``: additionally allow the fused eval-only Pallas kernel
         for the fold on TPU (no VJP — pass ``not train``).
+
+        ``fold_epilogue``: (5, cout) f32 eval-BN+PReLU rows fused into the
+        kernel's output write (see ``dispatch.fold_upsample_conv``); the
+        caller must have checked ``dispatch.fold_upsample_kernel_ok`` — if
+        the kernel is not taken the epilogue is NOT applied here.
         """
         in_ch = x.shape[-1]
         dt = compute_dtype()
@@ -112,7 +118,8 @@ class TorchConv(nn.Module):
                 raise ValueError("fold_resize2 needs a 3x3/stride-1/pad-1 conv")
             if fold_kernel:
                 from istnet_tpu.ops import dispatch
-                out = dispatch.fold_upsample_conv(x, k, b)
+                out = dispatch.fold_upsample_conv(x, k, b,
+                                                  epilogue=fold_epilogue)
                 if out is not None:
                     return out
             return conv3x3_on_doubled(x, k, b)

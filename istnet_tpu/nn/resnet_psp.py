@@ -146,6 +146,26 @@ class PSPModule(nn.Module):
         return nn.relu(bottle)
 
 
+def _fold_bn_prelu(bn: "BatchNorm", prelu: "PReLU", cout: int,
+                   eps: float = 1e-5):
+    """(5, cout) f32 ``[mean, invstd, scale, bias, alpha]`` epilogue rows for
+    the fold-upsample kernel, read from the (uncalled) BN/PReLU children —
+    the same child-variable folding pattern as ``_fold_shared_mlp``. Returns
+    None on the fresh-init path (variables not yet created)."""
+    bv, pv = bn.variables, prelu.variables
+    if "batch_stats" not in bv or "params" not in bv or "params" not in pv:
+        return None
+    import jax.numpy as jnp
+    mean, var = bv["batch_stats"]["mean"], bv["batch_stats"]["var"]
+    return jnp.stack([
+        mean,
+        jax.lax.rsqrt(var + eps),
+        bv["params"]["scale"],
+        bv["params"]["bias"],
+        jnp.broadcast_to(pv["params"]["alpha"], (cout,)),
+    ]).astype(jnp.float32)
+
+
 class PSPUpsample(nn.Module):
     """x2 bilinear (align_corners=True) + 3x3 conv + BN + PReLU (modules.py:37-48)."""
 
@@ -153,13 +173,25 @@ class PSPUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        conv = TorchConv(self.features, (3, 3), padding=1)
+        bn = BatchNorm()
+        prelu = PReLU()
         # resize folded into the conv (conv3x3_on_doubled): exact, 4x fewer
         # conv FLOPs than materializing the doubled map; at eval the whole
-        # fold runs as one in-VMEM Pallas kernel (fold_upsample_pallas)
-        x = TorchConv(self.features, (3, 3), padding=1)(
-            x, fold_resize2=True, fold_kernel=not train)
-        x = BatchNorm()(x, train)
-        return PReLU()(x)
+        # fold runs as one in-VMEM Pallas kernel (fold_upsample_pallas) with
+        # the BN-eval affine + PReLU fused into its output write (XLA cannot
+        # fuse elementwise consumers into a pallas_call — unfused they cost a
+        # full extra HBM pass over the doubled map, 354/922 us at B=32/64)
+        if not train and not self.is_initializing():
+            from istnet_tpu.ops import dispatch
+            if dispatch.fold_upsample_kernel_ok(x.shape[0], x.shape[-1]):
+                ep = _fold_bn_prelu(bn, prelu, self.features)
+                if ep is not None:
+                    return conv(x, fold_resize2=True, fold_kernel=True,
+                                fold_epilogue=ep)
+        x = conv(x, fold_resize2=True, fold_kernel=not train)
+        x = bn(x, train)
+        return prelu(x)
 
 
 class ModifiedResnet(nn.Module):

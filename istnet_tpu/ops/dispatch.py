@@ -93,10 +93,22 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
         radii, nsamples, xyz, new_xyz, features, use_xyz)]
 
 
-def fold_upsample_conv(x, k, b):
+def fold_upsample_kernel_ok(bsz: int, cin: int) -> bool:
+    """Whether ``fold_upsample_conv`` will take the Pallas kernel (so callers
+    that want the fused BN/PReLU epilogue can decide up front whether their
+    epilogue will actually be applied)."""
+    return _on_tpu() and cin <= 512 and bsz <= 64
+
+
+def fold_upsample_conv(x, k, b, epilogue=None):
     """Fused ``conv3x3(resize_x2_align_corners(x))`` (one VMEM pass per image
     on TPU) or ``None`` when unsupported — caller falls back to the XLA fold
     (``nn/layers.py::conv3x3_on_doubled``). Eval-only: the kernel has no VJP.
+
+    ``epilogue``: optional (5, cout) f32 ``[mean, invstd, scale, bias,
+    alpha]`` rows fusing the PSPUpsample eval-BN + PReLU tail into the
+    output write (ignored on the XLA fallback, where XLA fuses those into
+    the conv epilogue by itself).
 
     Gated BY MEASUREMENT (full eval forward on a v5e):
     - channels: at up1's 1024-channel input the XLA fold's big channel matmul
@@ -106,10 +118,10 @@ def fold_upsample_conv(x, k, b):
     - batch: at B=128 XLA amortizes the fold into its surrounding fusions
       and the kernel LOSES end to end (2205 vs 2430 inf/s), while at B=32
       the kernel wins (2107 vs ~1940 inf/s) -> kernel only when B <= 64."""
-    if not _on_tpu() or x.shape[-1] > 512 or x.shape[0] > 64:
+    if not fold_upsample_kernel_ok(x.shape[0], x.shape[-1]):
         return None
     from istnet_tpu.ops import fold_upsample_pallas as _fu_pl
-    return _fu_pl.fold_upsample_conv_pallas(x, k, b)
+    return _fu_pl.fold_upsample_conv_pallas(x, k, b, epilogue=epilogue)
 
 
 def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):

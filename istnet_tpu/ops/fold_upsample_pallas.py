@@ -49,7 +49,8 @@ from istnet_tpu.nn.layers import _shifted_interp_matrix
 Array = jax.Array
 
 
-def _kernel(xt_ref, km_ref, sy_ref, sx_ref, b_ref, o_ref, v_ref, vt_ref):
+def _kernel(xt_ref, km_ref, sy_ref, sx_ref, b_ref, ep_ref, o_ref, v_ref,
+            vt_ref, *, epilogue: bool):
     ipb, w, h, cin = xt_ref.shape          # w-major input block
     _, hh, ww, cout = o_ref.shape          # (2h, 2w)
     tc = 3 * cout
@@ -82,7 +83,30 @@ def _kernel(xt_ref, km_ref, sy_ref, sx_ref, b_ref, o_ref, v_ref, vt_ref):
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
     out = out + b_ref[:].astype(jnp.float32).reshape(1, 1, cout)
-    o_ref[:] = out.astype(o_ref.dtype).reshape(ipb, hh, ww, cout)
+    if epilogue:
+        # BN-eval affine + PReLU fused into the output write: XLA cannot fuse
+        # elementwise consumers INTO a pallas_call, so without this the
+        # (B, 2h, 2w, cout) conv output pays a full extra HBM read+write for
+        # the BN/PReLU pass (profiled 354 us at B=32 / 922 us at B=64 on the
+        # eval forward). Each step mirrors the unfused op order bit-exactly:
+        # conv output materialized in the compute dtype (conv3x3_on_doubled's
+        # final cast), BN's (x-mean)*invstd then *scale+bias in f32
+        # (nn/layers.py BatchNorm eval), one cast, PReLU in the compute
+        # dtype (nn/layers.py PReLU).
+        ob = out.astype(o_ref.dtype).astype(jnp.float32)
+        t = (ob - ep_ref[0].reshape(1, 1, cout)) * ep_ref[1].reshape(1, 1, cout)
+        t = t * ep_ref[2].reshape(1, 1, cout) + ep_ref[3].reshape(1, 1, cout)
+        tb = t.astype(o_ref.dtype)
+        # PReLU compare/multiply staged through f32: Mosaic v5e has no bf16
+        # vector cmpf, and XLA's own bf16 arithmetic IS upcast-compute-round,
+        # so this is the bit-exact restatement of where(x>=0, x, alpha*x)
+        tf = tb.astype(jnp.float32)
+        alpha = ep_ref[4].reshape(1, 1, cout).astype(o_ref.dtype)
+        neg = (alpha.astype(jnp.float32) * tf).astype(o_ref.dtype)
+        out_e = jnp.where(tf >= 0, tb, neg)
+        o_ref[:] = out_e.reshape(ipb, hh, ww, cout)
+    else:
+        o_ref[:] = out.astype(o_ref.dtype).reshape(ipb, hh, ww, cout)
 
 
 def _images_per_block(b: int, h: int, w: int, cin: int, cout: int,
@@ -100,10 +124,16 @@ def _images_per_block(b: int, h: int, w: int, cin: int, cout: int,
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def fold_upsample_conv_pallas(x: Array, k: Array, b: Array | None,
-                              interpret: bool = False) -> Array:
+                              interpret: bool = False,
+                              epilogue: Array | None = None) -> Array:
     """``(B, h, w, cin), (3, 3, cin, cout) HWIO -> (B, 2h, 2w, cout)``.
 
     Equals ``conv3x3_on_doubled(x, k, b)`` up to f32-accumulation rounding.
+
+    ``epilogue``: optional ``(5, cout)`` f32 rows ``[mean, invstd, scale,
+    bias, alpha]`` applying eval-BN + PReLU inside the output write (the
+    PSPUpsample tail, reference ``modules.py:37-48``) — bit-identical to the
+    unfused BN/PReLU applied to this kernel's output.
     """
     bsz, h, w, cin = x.shape
     if k.shape[:2] != (3, 3):
@@ -116,12 +146,17 @@ def fold_upsample_conv_pallas(x: Array, k: Array, b: Array | None,
     sx = jnp.asarray(np.transpose(_shifted_interp_matrix(w, 2 * w), (1, 0, 2)), dt)
     bias = (jnp.zeros((1, cout), jnp.float32) if b is None
             else b.reshape(1, cout).astype(jnp.float32))
+    has_ep = epilogue is not None
+    ep = (jnp.zeros((5, cout), jnp.float32) if epilogue is None
+          else epilogue.astype(jnp.float32))
+    if ep.shape != (5, cout):
+        raise ValueError(f"epilogue must be (5, {cout}), got {ep.shape}")
 
     xt = jnp.swapaxes(x, 1, 2)  # w-major images (cheap: low-res input)
     ipb = _images_per_block(bsz, h, w, cin, cout, x.dtype.itemsize)
     grid = (bsz // ipb,)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, epilogue=has_ep),
         out_shape=jax.ShapeDtypeStruct((bsz, 2 * h, 2 * w, cout), dt),
         grid=grid,
         in_specs=[
@@ -134,6 +169,7 @@ def fold_upsample_conv_pallas(x: Array, k: Array, b: Array | None,
             pl.BlockSpec((3, 2 * w, w), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ipb, 2 * h, 2 * w, cout),
                                lambda i: (i, 0, 0, 0),
@@ -143,4 +179,4 @@ def fold_upsample_conv_pallas(x: Array, k: Array, b: Array | None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(xt, km, sy, sx, bias)
+    )(xt, km, sy, sx, bias, ep)

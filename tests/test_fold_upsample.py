@@ -71,6 +71,80 @@ def test_pallas_fold_kernel_matches_xla_fold(b, h, w, cin, cout):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_fold_kernel_epilogue_bit_matches_unfused():
+    """The in-kernel BN-eval + PReLU epilogue is BIT-IDENTICAL to applying
+    the same ops (in BatchNorm/PReLU's exact op order and dtypes) to the
+    epilogue-free kernel output — the fusion must only remove the extra HBM
+    pass, never change a ulp. bf16 compute so every intermediate rounding in
+    the mirrored chain is exercised."""
+    from istnet_tpu.ops.fold_upsample_pallas import fold_upsample_conv_pallas
+
+    b, h, w, cin, cout = 2, 8, 8, 16, 8
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (b, h, w, cin), jnp.bfloat16)
+    k = (jax.random.normal(ks[1], (3, 3, cin, cout)) * 0.1).astype(jnp.bfloat16)
+    bias = jax.random.normal(ks[2], (cout,), jnp.bfloat16)
+    mean = jax.random.normal(ks[3], (cout,), jnp.float32) * 0.5
+    var = jax.random.uniform(ks[4], (cout,), jnp.float32, 0.25, 2.0)
+    scale = jax.random.normal(ks[5], (cout,), jnp.float32) * 0.8 + 1.0
+    bn_bias = jax.random.normal(ks[6], (cout,), jnp.float32) * 0.3
+    alpha = jnp.asarray([0.25], jnp.float32)
+
+    plain = fold_upsample_conv_pallas(x, k, bias, True)
+    # BatchNorm eval (nn/layers.py) then PReLU, op-for-op
+    t = (plain.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+    t = (t * scale + bn_bias).astype(plain.dtype)
+    want = jnp.where(t >= 0, t, alpha.astype(t.dtype) * t)
+
+    ep = jnp.stack([mean, jax.lax.rsqrt(var + 1e-5), scale, bn_bias,
+                    jnp.broadcast_to(alpha, (cout,))])
+    got = fold_upsample_conv_pallas(x, k, bias, True, epilogue=ep)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+
+def test_psp_upsample_fused_epilogue_matches_module(monkeypatch):
+    """PSPUpsample's fused eval path (kernel + in-kernel BN/PReLU epilogue,
+    forced on via the dispatch gate) matches the unfused module composition
+    up to the kernel's documented f32-accumulation rounding — with BN
+    stats/affine and the PReLU alpha all randomized so a wrong epilogue row
+    would shift the output grossly."""
+    from istnet_tpu.nn.resnet_psp import PSPUpsample
+    from istnet_tpu.ops import dispatch
+    from istnet_tpu.ops.fold_upsample_pallas import fold_upsample_conv_pallas
+
+    monkeypatch.setattr(dispatch, "fold_upsample_kernel_ok",
+                        lambda bsz, cin: True)
+    monkeypatch.setattr(
+        dispatch, "fold_upsample_conv",
+        lambda x, k, b, epilogue=None: fold_upsample_conv_pallas(
+            x, k, b, True, epilogue=epilogue))
+
+    mod = PSPUpsample(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(1), x, train=True)
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    bn_p = dict(variables["params"]["BatchNorm_0"])
+    bn_s = dict(variables["batch_stats"]["BatchNorm_0"])
+    bn_s["mean"] = jax.random.normal(ks[0], (8,), jnp.float32)
+    bn_s["var"] = jax.random.uniform(ks[1], (8,), jnp.float32, 0.5, 1.5)
+    bn_p["scale"] = jax.random.normal(ks[2], (8,), jnp.float32) + 1.0
+    bn_p["bias"] = jax.random.normal(ks[3], (8,), jnp.float32) * 0.2
+    variables = {
+        "params": {**variables["params"], "BatchNorm_0": bn_p,
+                   "PReLU_0": {"alpha": jnp.asarray([0.4], jnp.float32)}},
+        "batch_stats": {**variables["batch_stats"], "BatchNorm_0": bn_s},
+    }
+
+    got = mod.apply(variables, x, train=False)  # fused path (gate forced)
+    monkeypatch.setattr(dispatch, "fold_upsample_kernel_ok",
+                        lambda bsz, cin: False)
+    want = mod.apply(variables, x, train=False)  # unfused module path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_torchconv_param_tree_unchanged():
     """Param paths/shapes must stay nn.Conv-compatible for checkpoints and
     the torch weight converter (Conv_0/kernel, Conv_0/bias)."""
