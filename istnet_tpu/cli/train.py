@@ -139,7 +139,17 @@ def main():
     tx, _ = make_optimizer(cfg, iters, params, frozen_prefix=frozen_prefix)
 
     start_epoch, start_state = 1, None
-    if args.checkpoint_epoch >= 0:
+    resume_sharded = None
+    par = cfg.get("parallel", {}) or {}
+    if args.checkpoint_epoch >= 0 and int(par.get("fsdp", 1)) > 1:
+        # FSDP runs saved a SHARDED checkpoint; the Solver restores it
+        # straight into the FSDP placement (each process reads only its own
+        # shards) after it has built the mesh — no full-state
+        # materialization on every host
+        resume_sharded = (os.path.join(log_dir, "ckpt"), args.checkpoint_epoch)
+        logger.info(f"resuming from epoch {args.checkpoint_epoch} "
+                    "(sharded, deferred to Solver)")
+    elif args.checkpoint_epoch >= 0:
         template = jax.device_get(create_train_state(params, batch_stats, tx))
         payload = checkpoints.restore_checkpoint(
             os.path.join(log_dir, "ckpt"), args.checkpoint_epoch,
@@ -195,7 +205,7 @@ def main():
                     syn_loader=syn_loader, real_loader=real_loader,
                     logger=logger, log_dir=log_dir,
                     start_epoch=start_epoch, start_state=start_state,
-                    n_devices=args.devices)
+                    n_devices=args.devices, resume_sharded=resume_sharded)
     solver.solve()
 
 

@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 
 from istnet_tpu.parallel import (
     jit_train_step_dp, jit_train_step_fsdp, make_mesh, make_mesh_2d,
-    replicate, shard_state_fsdp)
+    replicate, shard_state_fsdp, state_shardings_fsdp)
 from istnet_tpu.parallel import multihost
 from istnet_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
 from istnet_tpu.train import checkpoints
@@ -57,7 +57,8 @@ class Solver:
                  syn_loader=None, real_loader=None, logger=None,
                  log_dir: str | None = None, start_epoch: int = 1,
                  start_state: TrainState | None = None,
-                 n_devices: int | None = None):
+                 n_devices: int | None = None,
+                 resume_sharded: tuple[str, int] | None = None):
         self.model = model
         self.cfg = cfg
         self.logger = logger
@@ -161,8 +162,26 @@ class Solver:
             variables["params"], variables["batch_stats"], tx)
         if self.fsdp > 1:
             self.train_step = jit_train_step_fsdp(step_fn, self.mesh, state)
-            self.state = shard_state_fsdp(self.mesh, state)
+            if resume_sharded is not None:
+                # the memory-safe resume for sharded runs: Orbax reads each
+                # process's shards straight into the FSDP placement — no
+                # host-RAM-sized full-state materialization per host (the
+                # 1-D/replicated path restores via a host template in
+                # cli/train.py instead)
+                ckpt_dir, epoch = resume_sharded
+                self.state, meta = checkpoints.restore_checkpoint_sharded(
+                    ckpt_dir, epoch, state,
+                    state_shardings_fsdp(self.mesh, state))
+                self.start_epoch = int(meta["epoch"]) + 1
+                self._log(f"resumed from epoch {epoch} (sharded restore)")
+            else:
+                self.state = shard_state_fsdp(self.mesh, state)
         else:
+            if resume_sharded is not None:
+                raise ValueError(
+                    "resume_sharded requires an FSDP layout (parallel: "
+                    "{fsdp: N}); replicated runs resume via a host-template "
+                    "restore (cli/train.py)")
             self.train_step = jit_train_step_dp(step_fn, self.mesh)
             self.state = replicate(self.mesh, state)
         # replicated single-process state checkpoints as host numpy (cheap

@@ -86,7 +86,9 @@ def test_cli_train_fsdp(cli_root, monkeypatch, capsys):
     ckpts = os.listdir(log_dir / "ckpt")
     assert any("5" in c for c in ckpts), ckpts
 
-    # resume from the sharded checkpoint: host-template restore + re-shard
+    # resume from the sharded checkpoint: the PRODUCT path is the Solver's
+    # sharded restore (each process reads only its own shards, no
+    # host-template materialization)
     cfg_path.write_text(FSDP_CONFIG.replace("max_epoch: 5", "max_epoch: 6"))
     monkeypatch.setattr(sys, "argv", [
         "train", "--config", str(cfg_path), "--data_dir", str(cli_root / "data"),
@@ -94,7 +96,7 @@ def test_cli_train_fsdp(cli_root, monkeypatch, capsys):
     cli_train.main()
     cap = capsys.readouterr()
     text = cap.err + cap.out
-    assert "resumed from epoch 5" in text
+    assert "resumed from epoch 5 (sharded restore)" in text
     assert "epoch 6 iter 2/2" in text
 
 
