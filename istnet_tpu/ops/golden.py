@@ -61,7 +61,10 @@ def three_nn_golden(unknown: np.ndarray, known: np.ndarray):
             best = [1e40, 1e40, 1e40]
             besti = [0, 0, 0]
             for k in range(d2.shape[1]):
-                d = d2[j, k]
+                # python float: the CUDA kernel compares in double
+                # (interpolate_gpu.cu:31 "double best1 = 1e40"); an np.float32
+                # comparison would cast 1e40 -> inf with an overflow warning
+                d = float(d2[j, k])
                 if d < best[0]:
                     best = [d, best[0], best[1]]
                     besti = [k, besti[0], besti[1]]

@@ -64,6 +64,24 @@ def restore_checkpoint_sharded(ckpt_dir: str, epoch: int, state,
     def abstract(x, s):
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
 
+    # the meta subtree's keys are save-time data ({"epoch", **extra_meta},
+    # save_checkpoint above) — a hardcoded {"epoch": 0} template would fail
+    # Orbax structure matching for checkpoints saved with extra_meta, so
+    # build it from the checkpoint's own tree metadata
+    meta_template: dict = {"epoch": 0}
+    try:
+        with ocp.CheckpointManager(
+                os.path.abspath(ckpt_dir),
+                item_handlers=ocp.StandardCheckpointHandler()) as md_mgr:
+            md_tree = md_mgr.item_metadata(epoch).tree["meta"]
+        import numpy as np
+        # python scalars: Orbax's StandardRestore rejects np scalar leaves
+        meta_template = jax.tree_util.tree_map(
+            lambda m: np.zeros((), m.dtype).item() if getattr(m, "dtype", None)
+            is not None else 0, md_tree)
+    except Exception:
+        pass  # old/unreadable metadata: fall back to the minimal template
+
     template = {
         "params": jax.tree_util.tree_map(abstract, state.params,
                                          shardings.params),
@@ -72,7 +90,7 @@ def restore_checkpoint_sharded(ckpt_dir: str, epoch: int, state,
         "opt_state": jax.tree_util.tree_map(abstract, state.opt_state,
                                             shardings.opt_state),
         "step": abstract(state.step, shardings.step),
-        "meta": {"epoch": 0},
+        "meta": meta_template,
     }
     with _mgr(ckpt_dir) as mgr:
         payload = mgr.restore(epoch, args=ocp.args.StandardRestore(template))

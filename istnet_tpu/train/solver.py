@@ -92,10 +92,22 @@ class Solver:
         global_bs = local_bs * self.n_proc
         if self.fsdp > 1:
             dp = int(par.get("dp", 0)) or jax.device_count() // self.fsdp
-            if dp * self.fsdp != jax.device_count() and self.n_proc > 1:
+            if dp < 1:
                 raise ValueError(
-                    f"multi-process mesh must cover all devices: dp*fsdp = "
-                    f"{dp * self.fsdp} != {jax.device_count()}")
+                    f"parallel.fsdp = {self.fsdp} exceeds the "
+                    f"{jax.device_count()} available devices (dp computes to "
+                    f"{dp}); use fsdp <= device_count")
+            if dp * self.fsdp != jax.device_count():
+                if self.n_proc > 1:
+                    raise ValueError(
+                        f"multi-process mesh must cover all devices: dp*fsdp = "
+                        f"{dp * self.fsdp} != {jax.device_count()}")
+                # single-process: a partial mesh is legal (like --devices N on
+                # the DP path) but must never be silent
+                if logger is not None:
+                    logger.info(
+                        f"partial FSDP mesh: dp*fsdp = {dp * self.fsdp} uses "
+                        f"{dp * self.fsdp}/{jax.device_count()} devices")
             if global_bs % (dp * self.fsdp):
                 raise ValueError(
                     f"global batch {global_bs} not divisible by mesh size "

@@ -3,8 +3,9 @@
 Rebuild of the reference training runtime (``utils/solver.py:19-215``),
 redesigned functionally for XLA:
 
-- Adam(betas=(0.5, 0.999), eps=1e-6) with the triangular cyclic LR, both pure
-  functions of the step (``solver.py:44-46``, ``config/ist_net_default.yaml:4-9``).
+- Adam with torch-default betas/eps (the reference's solver never forwards the
+  config's betas/eps keys — see ``make_optimizer``) and the triangular cyclic
+  LR, both pure functions of the step (``solver.py:40-46``).
 - BN running stats updated with the scheduled momentum OUTSIDE the module
   (torch semantics ``running = (1-m)*running + m*batch``; reference mutates
   module momentum per-iteration via BNMomentumScheduler, ``solver.py:48-49``).

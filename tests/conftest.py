@@ -13,8 +13,12 @@ import os
 # config updates (before first backend use) are honored.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# ISTNET_TPU_TESTS=1 keeps the real TPU backend so the `tpu`-marked
+# on-device kernel-parity tier can run (ISTNET_TPU_TESTS=1 python -m pytest
+# -m tpu tests/); everything else runs on 8 virtual CPU devices.
+if os.environ.get("ISTNET_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the test runner has ONE cpu core; full-model
 # grad graphs take minutes to compile the first time, milliseconds after.

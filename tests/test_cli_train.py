@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 CONFIG = """\
 model_arch: ist_net
 freeze_world_enhancer: False

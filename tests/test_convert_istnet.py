@@ -448,6 +448,7 @@ def _install_ext_stubs(torch):
 
 
 @needs_reference
+@pytest.mark.slow
 @pytest.mark.parametrize("train", [False, True], ids=["eval", "train"])
 def test_full_model_forward_parity(ref, monkeypatch, train):
     """THE end-to-end accuracy-parity statement available without NOCS data:
@@ -570,6 +571,7 @@ def test_full_model_forward_parity(ref, monkeypatch, train):
         np.testing.assert_allclose(float(j_loss), t_loss, rtol=2e-4)
 
 
+@pytest.mark.slow
 @needs_reference
 def test_full_model_gradient_parity(ref, monkeypatch):
     """The training objective has the same GRADIENTS: d loss / d {pts, rgb,
@@ -691,6 +693,7 @@ def test_full_model_gradient_parity(ref, monkeypatch):
 
 
 @needs_reference
+@pytest.mark.slow
 @pytest.mark.parametrize("freeze", [False, True], ids=["unfrozen", "frozen"])
 def test_optimizer_trajectory_parity(ref, monkeypatch, freeze):
     """The last unproven link to training parity (VERDICT r3 item 2): N real

@@ -212,3 +212,39 @@ def test_fsdp_checkpoint_roundtrip(tmp_path):
     for a, r in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(jax.device_get(res2.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+def test_fsdp_sharded_restore_with_extra_meta(tmp_path):
+    """ADVICE r4: restore_checkpoint_sharded used to hardcode the meta
+    template to {"epoch": 0}, so a checkpoint saved with save_checkpoint's
+    ``extra_meta`` kwarg failed Orbax structure matching on FSDP resume. The
+    template is now built from the checkpoint's own tree metadata."""
+    from istnet_tpu.train import checkpoints
+
+    step_fn, state, batch = _setup()
+    mesh = make_mesh_2d(dp=2, fsdp=4)
+    st = shard_state_fsdp(mesh, state)
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoints.save_checkpoint(ckpt_dir, 5, st,
+                                extra_meta={"iter": 1234, "wall_s": 2.5})
+
+    host_template = jax.device_get(shard_state_fsdp(mesh, _setup()[1]))
+    shardings = state_shardings_fsdp(mesh, host_template)
+    restored, meta = checkpoints.restore_checkpoint_sharded(
+        ckpt_dir, 5, host_template, shardings)
+    assert meta["epoch"] == 5
+    assert meta["iter"] == 1234
+    assert meta["wall_s"] == 2.5
+    for a, r in zip(jax.tree_util.tree_leaves(jax.device_get(st.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+def test_solver_rejects_fsdp_over_device_count():
+    """ADVICE r4: single-process fsdp > device_count used to fall through to
+    a cryptic ZeroDivisionError; now a clear up-front raise."""
+    from istnet_tpu.train.solver import Solver
+
+    cfg = Config({"max_epoch": 1, "parallel": {"fsdp": 16}})
+    with pytest.raises(ValueError, match="exceeds"):
+        Solver(None, None, None, cfg, None)

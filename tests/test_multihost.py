@@ -17,6 +17,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _free_port() -> int:

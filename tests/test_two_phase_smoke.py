@@ -2,6 +2,9 @@
 -> eval) runs green end-to-end on synthetic data."""
 
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_two_phase_smoke_cli(tmp_path, monkeypatch, capsys):
