@@ -94,19 +94,33 @@ def main():
             logger.info(f"restored epoch {args.test_epoch}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
-        if args.device_preprocess and (args.eval_batch or args.devices):
-            raise SystemExit("--device_preprocess runs the per-image fused "
-                             "pipeline; --eval_batch/--devices apply only to "
-                             "the host-preprocessed path")
+        if args.device_preprocess and args.devices:
+            raise SystemExit("--device_preprocess + --devices (DP mesh) is "
+                             "not composed; use --eval_batch for cross-image "
+                             "batching on the fused device pipeline")
         if args.device_preprocess:
             from istnet_tpu.data.dataset import REAL_INTRINSICS
-            from istnet_tpu.eval.test_loop import make_device_forward, test_func_device
             dataset = TestDataset(cfg.test, args.data_dir, device_preprocess=True)
-            logger.info(f"{len(dataset)} test images (device preprocessing)")
-            dfwd = make_device_forward(model, variables, REAL_INTRINSICS,
-                                       img_size=int(cfg.test.img_size),
-                                       sample_num=int(cfg.test.sample_num))
-            test_func_device(dfwd, dataset, save_path, logger=logger)
+            if args.eval_batch:
+                # fused device preprocessing AND cross-image instance
+                # batching: instances stream through a device-resident
+                # compaction buffer, one model forward per eval_batch
+                from istnet_tpu.eval.test_loop import test_func_device_batched
+                logger.info(f"{len(dataset)} test images (device "
+                            f"preprocessing, batched x{args.eval_batch})")
+                test_func_device_batched(
+                    model, variables, dataset, save_path, REAL_INTRINSICS,
+                    img_size=int(cfg.test.img_size),
+                    sample_num=int(cfg.test.sample_num),
+                    batch_size=args.eval_batch, logger=logger)
+            else:
+                from istnet_tpu.eval.test_loop import (make_device_forward,
+                                                       test_func_device)
+                logger.info(f"{len(dataset)} test images (device preprocessing)")
+                dfwd = make_device_forward(model, variables, REAL_INTRINSICS,
+                                           img_size=int(cfg.test.img_size),
+                                           sample_num=int(cfg.test.sample_num))
+                test_func_device(dfwd, dataset, save_path, logger=logger)
         else:
             dataset = TestDataset(cfg.test, args.data_dir)
             logger.info(f"{len(dataset)} test images")

@@ -11,6 +11,7 @@ padded rows are dropped before saving. Pose assembly matches ``solver.py:231-241
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 
@@ -209,6 +210,239 @@ def test_func_device(device_forward, dataset, save_path: str, logger=None,
 
         dq.push(finish)
     dq.flush()
+
+
+def make_device_batched(model, variables, intrinsics, img_size: int = 192,
+                        sample_num: int = 1024, batch_size: int = 64,
+                        kb: int = 16, lag: int = 2, min_points: int = 16):
+    """Device-side streaming compaction: compose the fused device
+    preprocessing with cross-image instance batching (VERDICT r4 item 4 —
+    ``test_func_device`` ran one forward per image at bucket sizes while
+    ``test_func_batched`` needed host preprocessing; here preprocessed
+    instances never leave the device between the two stages).
+
+    Three jitted programs over STATIC shapes:
+
+    - ``append(buffers, pos, raw image chunk, key)``: depth fill + shared
+      crop/sample/backproject for ``kb`` instance masks
+      (``preprocess_shared_image_tpu``), then a compacting scatter of the
+      instances with > ``min_points`` valid pixels (the reference's
+      ``dataset.py:387`` check, applied ON DEVICE) into ``buffers`` at the
+      device cursor ``pos``; invalid rows scatter to a trash slot.
+    - ``forward(buffers, pos)``: the model eval forward on ``buffers[:B]``,
+      then the overflow region ``[B:BUF)`` shifts to the front and the
+      cursor drops by B.
+
+    The buffer holds ``BUF = B + (lag+1)*kb + 1`` rows: the host learns each
+    chunk's valid count with up to ``lag`` chunks of delay (async D2H — no
+    per-image sync), so up to ``lag+1`` undecided chunks may append before a
+    flush is triggered; the overflow region absorbs them and the final ``+1``
+    is the trash slot.
+
+    Returns ``(init_buffers, append, forward)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from istnet_tpu.data.device_preprocess import (
+        fill_missing_tpu, preprocess_shared_image_tpu)
+
+    intr = jnp.asarray(intrinsics, jnp.float32)
+    buf_n = batch_size + (lag + 1) * kb + 1
+    trash = buf_n - 1
+
+    def init_buffers():
+        return {
+            "rgb": jnp.zeros((buf_n, img_size, img_size, 3), jnp.float32),
+            "pts": jnp.zeros((buf_n, sample_num, 3), jnp.float32),
+            "choose": jnp.zeros((buf_n, sample_num), jnp.int32),
+            "category_label": jnp.zeros((buf_n,), jnp.int32),
+        }, jnp.zeros((), jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def append(buffers, pos, rgb_full, depth_raw, masks, bboxes, category, key):
+        filled = fill_missing_tpu(depth_raw[None])[0]
+        pre = preprocess_shared_image_tpu(
+            rgb_full, filled, masks, bboxes, intr, key,
+            img_size=img_size, sample_num=sample_num)
+        valid = pre["n_valid"] > min_points                     # (kb,)
+        dst = jnp.where(valid, pos + jnp.cumsum(valid) - 1, trash)
+        chunk = {"rgb": pre["rgb"], "pts": pre["pts"], "choose": pre["choose"],
+                 "category_label": category.astype(jnp.int32)}
+        buffers = {k: buffers[k].at[dst].set(chunk[k].astype(buffers[k].dtype))
+                   for k in buffers}
+        return buffers, pos + valid.sum(dtype=jnp.int32), pre["n_valid"]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def forward(buffers, pos):
+        inputs = {k: v[:batch_size] for k, v in buffers.items()}
+        ep = model.apply(variables, inputs, train=False)
+        ep = {k: ep[k] for k in
+              ("pred_rotation", "pred_translation", "pred_size")}
+        buffers = {k: v.at[: buf_n - batch_size].set(v[batch_size:])
+                   for k, v in buffers.items()}
+        return ep, buffers, pos - batch_size
+
+    return init_buffers, append, forward
+
+
+def test_func_device_batched(model, variables, dataset, save_path: str,
+                             intrinsics, img_size: int = 192,
+                             sample_num: int = 1024, batch_size: int = 64,
+                             kb: int = 16, min_points: int = 16, lag: int = 2,
+                             logger=None, progress: bool = True,
+                             seed: int = 0) -> None:
+    """Fully-fused device pipeline WITH cross-image instance batching: the
+    dataset yields raw arrays (``TestDataset(device_preprocess=True)``); the
+    model runs once per ``batch_size`` valid instances across images instead
+    of once per image. Same result pkls as ``test_func``/``test_func_device``.
+
+    Host bookkeeping: valid instances get consecutive global sequence
+    numbers in device scatter order, so instance ``seq`` comes back as row
+    ``seq % batch_size`` of flush ``seq // batch_size`` — the host never
+    needs to know buffer positions, only each chunk's ``n_valid`` (read with
+    an async lag of ``lag`` chunks to avoid per-image syncs).
+    """
+    import jax
+
+    os.makedirs(save_path, exist_ok=True)
+    it = _prefetch(dataset, n_workers=2)
+    if progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(it, total=len(dataset))
+        except Exception:
+            pass
+
+    init_buffers, append, forward = make_device_batched(
+        model, variables, intrinsics, img_size=img_size,
+        sample_num=sample_num, batch_size=batch_size, kb=kb, lag=lag,
+        min_points=min_points)
+    buffers, pos = init_buffers()
+    key = jax.random.PRNGKey(seed)
+
+    dq = _DrainQueue()
+    img_state: dict[int, dict] = {}     # image idx -> assembly state
+    chunk_q: list = []                  # undecided (img_idx, chunk_lo, n_valid_dev)
+    flush_eps: list = []                # per-flush ep dict (drained lazily)
+    n_flushed = 0                       # flushes dispatched
+    seq = 0                             # next global sequence number [host view]
+
+    def _write(i: int) -> None:
+        st = img_state.pop(i)
+        result = st["result"]
+        if st["rows"]:
+            preds = []
+            for s in st["rows"]:
+                f, r = divmod(s, batch_size)
+                ep = flush_eps[f]
+                preds.append((np.asarray(ep["pred_rotation"])[r],
+                              np.asarray(ep["pred_translation"])[r],
+                              np.asarray(ep["pred_size"])[r]))
+            r = np.stack([p[0] for p in preds])
+            t = np.stack([p[1] for p in preds])
+            s_ = np.stack([p[2] for p in preds])
+            result["pred_RTs"], result["pred_scales"] = assemble_pose(r, t, s_)
+        else:
+            result["pred_RTs"] = np.zeros((0, 4, 4), np.float32)
+            result["pred_scales"] = np.zeros((0, 3), np.float32)
+        path = dataset.result_pkl_list[st["index"]]
+        with open(os.path.join(save_path, os.path.basename(path)), "wb") as f:
+            pickle.dump(result, f)
+
+    def _resolve_chunk() -> None:
+        """Materialize the oldest chunk's n_valid; assign sequence numbers."""
+        nonlocal seq, buffers, pos, n_flushed
+        i, lo, nv_dev = chunk_q.pop(0)
+        nv = np.asarray(nv_dev)
+        st = img_state[i]
+        for j, v in enumerate(nv):
+            orig = lo + j
+            if orig >= st["k"]:
+                continue                      # mask padding row
+            keep = v > min_points
+            st["keep"][orig] = keep
+            if keep:
+                st["rows"].append(seq)
+                seq += 1
+        st["chunks_left"] -= 1
+        while seq - n_flushed * batch_size >= batch_size:
+            ep, buffers, pos = forward(buffers, pos)
+            flush_eps.append(ep)
+            n_flushed += 1
+        if st["chunks_left"] == 0:
+            st["ready"] = True
+            _maybe_finish()
+
+    def _maybe_finish() -> None:
+        """Write images (in order) whose rows all live in dispatched flushes."""
+        for i in sorted(list(img_state)):
+            st = img_state[i]
+            if st.get("queued"):
+                continue            # pushed, awaiting its deferred _write
+            if not st["ready"]:
+                break
+            if st["rows"] and st["rows"][-1] >= n_flushed * batch_size:
+                break
+            st["queued"] = True
+            keep = np.asarray([st["keep"][j] for j in range(st["k"])], bool)
+            gt = st["gt"]
+            st["result"]["pred_class_ids"] = np.asarray(gt["pred_class_ids"])[keep]
+            st["result"]["pred_bboxes"] = np.asarray(gt["pred_bboxes"])[keep]
+            st["result"]["pred_scores"] = np.asarray(gt["pred_scores"])[keep]
+            dq.push(lambda i=i: _write(i))
+
+    for i, data in enumerate(it):
+        gt = data["gt"]
+        result = {
+            "gt_class_ids": np.asarray(gt["gt_class_ids"]),
+            "gt_bboxes": np.asarray(gt["gt_bboxes"]),
+            "gt_RTs": np.asarray(gt["gt_RTs"]),
+            "gt_scales": np.asarray(gt["gt_scales"]),
+            "gt_handle_visibility": np.asarray(gt["gt_handle_visibility"]),
+        }
+        k = 0 if data.get("empty", False) else data["masks"].shape[0]
+        n_chunks = max((k + kb - 1) // kb, 0)
+        img_state[i] = {"index": i, "result": result, "gt": gt, "k": k,
+                        "rows": [], "keep": {}, "chunks_left": n_chunks,
+                        "ready": n_chunks == 0}
+        if k == 0:
+            for kk in ("pred_class_ids", "pred_bboxes", "pred_scores"):
+                img_state[i]["result"][kk] = np.asarray(gt[kk])[:0]
+            _maybe_finish()
+            continue
+        for lo in range(0, k, kb):
+            hi = min(lo + kb, k)
+            masks = data["masks"][lo:hi]
+            bboxes = data["bboxes"][lo:hi]
+            category = data["category_label"][lo:hi]
+            if hi - lo < kb:  # pad with empty masks -> n_valid 0 -> dropped
+                pad = kb - (hi - lo)
+                masks = np.concatenate(
+                    [masks, np.zeros((pad,) + masks.shape[1:], masks.dtype)])
+                bboxes = np.concatenate([bboxes, np.tile(bboxes[-1:], (pad, 1))])
+                category = np.concatenate(
+                    [category, np.zeros(pad, category.dtype)])
+            key, sub = jax.random.split(key)
+            buffers, pos, n_valid = append(
+                buffers, pos, data["rgb_full"], data["depth_raw"],
+                masks, bboxes, category, sub)
+            try:
+                n_valid.copy_to_host_async()
+            except Exception:
+                pass
+            chunk_q.append((i, lo, n_valid))
+            while len(chunk_q) > lag:
+                _resolve_chunk()
+    while chunk_q:
+        _resolve_chunk()
+    if seq > n_flushed * batch_size:        # remainder flush (partial batch)
+        ep, buffers, pos = forward(buffers, pos)
+        flush_eps.append(ep)
+        n_flushed += 1
+    _maybe_finish()
+    dq.flush()
+    assert not img_state, f"unfinished images: {sorted(img_state)}"
 
 
 def test_func_batched(forward, dataset, save_path: str, logger=None,

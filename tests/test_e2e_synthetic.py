@@ -335,3 +335,58 @@ def test_device_preprocess_test_path(synthetic_root, tmp_path):
     assert np.isfinite(result["pred_RTs"]).all()
     iou_aps, pose_aps = evaluate(save, plot_figure=False)
     assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
+
+
+def test_device_batched_matches_device_per_image(synthetic_root, tmp_path):
+    """test_func_device_batched (device preprocessing + cross-image instance
+    batching through the device compaction buffer) writes the same result
+    structure as the per-image device path: same files, same kept instances
+    (the on-device > min_points decision), finite poses. Pose values differ
+    only through the per-instance sampling PRNG stream."""
+    from istnet_tpu.data.dataset import REAL_INTRINSICS
+    from istnet_tpu.eval.nocs_map import evaluate
+    from istnet_tpu.eval.test_loop import (make_device_forward,
+                                           test_func_device,
+                                           test_func_device_batched)
+    from istnet_tpu.models.ist_net import ISTNet
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root, device_preprocess=True)
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {
+        "rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+        "pts": jnp.zeros((1, N_PTS, 3)),
+        "choose": jnp.zeros((1, N_PTS), jnp.int32),
+        "category_label": jnp.zeros((1,), jnp.int32),
+        "qo": jnp.zeros((1, N_PTS, 3)),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    save_a = str(tmp_path / "results_per_image")
+    dfwd = make_device_forward(model, ev, REAL_INTRINSICS,
+                               img_size=IMG_SIZE, sample_num=N_PTS)
+    test_func_device(dfwd, ds, save_a, progress=False, max_bucket=4)
+
+    # batch 3 with kb=2: flushes straddle image boundaries AND a remainder
+    # partial batch both occur on the 2-image tree
+    save_b = str(tmp_path / "results_batched")
+    test_func_device_batched(model, ev, ds, save_b, REAL_INTRINSICS,
+                             img_size=IMG_SIZE, sample_num=N_PTS,
+                             batch_size=3, kb=2, lag=2, progress=False)
+
+    pkls = sorted(os.listdir(save_a))
+    assert sorted(os.listdir(save_b)) == pkls and len(pkls) == 2
+    for name in pkls:
+        with open(os.path.join(save_a, name), "rb") as f:
+            a = pickle.load(f)
+        with open(os.path.join(save_b, name), "rb") as f:
+            b = pickle.load(f)
+        np.testing.assert_array_equal(a["pred_class_ids"], b["pred_class_ids"])
+        assert a["pred_RTs"].shape == b["pred_RTs"].shape
+        assert np.isfinite(b["pred_RTs"]).all()
+        np.testing.assert_array_equal(a["gt_RTs"], b["gt_RTs"])
+    iou_aps, pose_aps = evaluate(save_b, plot_figure=False)
+    assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
