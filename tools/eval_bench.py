@@ -53,7 +53,9 @@ def build_real275_scale_tree(data_dir: str, n_images: int) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--images", type=int, default=2754)  # REAL275 test size
-    p.add_argument("--mode", default="batched", choices=("batched", "device", "both"))
+    p.add_argument("--mode", default="batched",
+                   choices=("batched", "device", "device_batched", "both", "all"))
+    p.add_argument("--eval_batch", type=int, default=64)
     p.add_argument("--keep", action="store_true")
     args = p.parse_args()
 
@@ -91,7 +93,7 @@ def main() -> None:
 
     results = {"images": args.images}
 
-    if args.mode in ("batched", "both"):
+    if args.mode in ("batched", "both", "all"):
         @jax.jit
         def forward(inputs):
             return model.apply(ev, inputs, train=False)
@@ -108,7 +110,7 @@ def main() -> None:
         print(f"host-batched: {n} images in {dt:.1f}s "
               f"({n / dt:.2f} img/s)", flush=True)
 
-    if args.mode in ("device", "both"):
+    if args.mode in ("device", "both", "all"):
         ds = TestDataset(cfg, data_dir, device_preprocess=True)
         dfwd = make_device_forward(model, ev, REAL_INTRINSICS)
         save = os.path.join(work, "res_device")
@@ -119,6 +121,20 @@ def main() -> None:
         results["device_images_per_sec"] = round(n / dt, 2)
         results["device_total_s"] = round(dt, 1)
         print(f"device-pipeline: {n} images in {dt:.1f}s "
+              f"({n / dt:.2f} img/s)", flush=True)
+
+    if args.mode in ("device_batched", "all"):
+        from istnet_tpu.eval.test_loop import test_func_device_batched
+        ds = TestDataset(cfg, data_dir, device_preprocess=True)
+        save = os.path.join(work, "res_device_batched")
+        t0 = time.perf_counter()
+        test_func_device_batched(model, ev, ds, save, REAL_INTRINSICS,
+                                 batch_size=args.eval_batch, progress=False)
+        dt = time.perf_counter() - t0
+        n = len(os.listdir(save))
+        results["device_batched_images_per_sec"] = round(n / dt, 2)
+        results["device_batched_total_s"] = round(dt, 1)
+        print(f"device-batched (x{args.eval_batch}): {n} images in {dt:.1f}s "
               f"({n / dt:.2f} img/s)", flush=True)
 
     print(json.dumps(results))
