@@ -34,6 +34,66 @@ CAM_RADII = ((0.01, 0.02), (0.02, 0.04), (0.04, 0.08), (0.08, 0.16))
 WORLD_RADII = ((0.05, 0.10), (0.10, 0.20), (0.20, 0.30), (0.30, 0.40))
 
 
+def _gather_rows(flat: Array, choose: Array) -> Array:
+    return jax.vmap(lambda f, idx: jnp.take(f, idx, axis=0))(
+        flat, choose.astype(jnp.int32))
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_onehot_gather(hw: int, dtype_name: str):
+    """Row-gather with a blocked one-hot MXU backward.
+
+    The AD transpose of the row-gather is a scatter-add of the (B, N, C)
+    cotangent into the dense (B, HW, C) map — round-3 profiling measured it
+    at 2.05 ms (B=24, a 11 GB/s fusion + a zero-broadcast) and 3.44 ms at
+    the 2048-pt config. Here: dense[b, p, :] = sum_i [choose[b,i] == p] *
+    ct[b, i, :], evaluated per contiguous p-block as an (PB, N) x (N, C)
+    matmul whose one-hot LHS is an iota-compare (never materialized at full
+    HW width; ``lax.map`` keeps one block in flight). Duplicate indices
+    accumulate in the MXU like the scatter — same math, f32 accumulation.
+    """
+    dtype = jnp.dtype(dtype_name)
+    pb = min(hw, 4608)              # 8 blocks over 36864 (192x192)
+    nb = -(-hw // pb)
+
+    @jax.custom_vjp
+    def f(flat, choose):
+        return _gather_rows(flat, choose)
+
+    def fwd(flat, choose):
+        return _gather_rows(flat, choose), choose
+
+    def bwd(choose, ct):
+        b, _, c = ct.shape
+        ch = choose.astype(jnp.int32)
+
+        def block(pstart):
+            cols = pstart + lax.iota(jnp.int32, pb)[None, None, :]
+            oh = (ch[:, :, None] == cols).astype(ct.dtype)     # (B, N, PB)
+            return lax.dot_general(
+                oh, ct, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (B, PB, C)
+
+        blocks = lax.map(block, jnp.arange(0, nb * pb, pb, dtype=jnp.int32))
+        dense = jnp.moveaxis(blocks, 0, 1).reshape(b, nb * pb, c)[:, :hw]
+        return dense.astype(dtype), None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _gather_rows_onehot_bwd(flat: Array, choose: Array) -> Array:
+    return _make_onehot_gather(flat.shape[1], jnp.dtype(flat.dtype).name)(
+        flat, choose)
+
+# A/B gate (tools/train_bench.py): scatter-add transpose (default) vs the
+# blocked one-hot matmul backward above
+_ONEHOT_BWD = __import__("os").environ.get("ISTNET_ONEHOT_CHOOSE_BWD") == "1"
+
+
 def gather_by_choose(feat_map: Array, choose: Array) -> Array:
     """(B, H, W, C), (B, N) -> (B, N, C): per-point pixel features
     (ist_net.py:41-45's gather, channel-last).
@@ -43,8 +103,9 @@ def gather_by_choose(feat_map: Array, choose: Array) -> Array:
     """
     b, h, w, c = feat_map.shape
     flat = feat_map.reshape(b, h * w, c)
-    return jax.vmap(lambda f, idx: jnp.take(f, idx, axis=0))(
-        flat, choose.astype(jnp.int32))
+    if _ONEHOT_BWD:
+        return _gather_rows_onehot_bwd(flat, choose)
+    return _gather_rows(flat, choose)
 
 
 class WorldSpaceEnhancer(nn.Module):

@@ -323,6 +323,20 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
         return jax.lax.gather(img, starts, dn, slice_sizes=(3, 3, c),
                               mode=jax.lax.GatherScatterMode.CLIP)
 
+    # The B=128 patch-gather growth (19.5 -> 27.6 us/sample vs B=32; the
+    # VERDICT-r4 "+7% of peak-batch throughput" item) is in the gather op
+    # ITSELF, not scheduling. Round-5 A/Bs, all device-time profiles:
+    # - optimization_barrier on h / patches / both: 45.52 ms total at
+    #   B=128 in every arm, gather 3528 us unchanged -> not a fusion or
+    #   scheduling artifact;
+    # - one flat gather over a row-stacked (B*Hin, Win, C) image (vmap's
+    #   batched-gather dim removed): 254 ms at B=128, 99.9 at B=32 — the
+    #   flat lowering serializes; REJECTED;
+    # - earlier ledger: chunking (lax.map 32-image chunks) and one-hot
+    #   row-gather matmuls also rejected (CLAUDE.md).
+    # The residual is an XLA gather-lowering bandwidth effect (122 -> 86
+    # GB/s on identical per-sample work); this vmap form remains the best
+    # known lowering at every batch.
     patches = jax.vmap(gather_patches)(h, base_y, base_x)  # (B, N, 3, 3, C)
     mat_y = mat_y.astype(patches.dtype)
     mat_x = mat_x.astype(patches.dtype)

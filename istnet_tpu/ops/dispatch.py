@@ -96,8 +96,17 @@ def ball_query_group(radii, nsamples, xyz, new_xyz, features=None,
 def fold_upsample_kernel_ok(bsz: int, cin: int) -> bool:
     """Whether ``fold_upsample_conv`` will take the Pallas kernel (so callers
     that want the fused BN/PReLU epilogue can decide up front whether their
-    epilogue will actually be applied)."""
-    return _on_tpu() and cin <= 512 and bsz <= 64
+    epilogue will actually be applied).
+
+    Batch gate history: the round-2 B<=64 verdict (kernel lost 2205 vs 2430
+    inf/s at B=128) PREDATES the round-4 BN/PReLU epilogue fusion. Round-5
+    re-A/B with the epilogue (device-time profile, B=128): XLA fold + unfused
+    PReLU 44.0 us/sample vs kernel 32.3 — full forward 46.28 -> 45.52 ms.
+    Gate now B<=128 (the measured range); ISTNET_FOLD_MAX_B overrides for
+    future A/Bs."""
+    import os
+    max_b = int(os.environ.get("ISTNET_FOLD_MAX_B", "128"))
+    return _on_tpu() and cin <= 512 and bsz <= max_b
 
 
 def fold_upsample_conv(x, k, b, epilogue=None):

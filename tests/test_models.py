@@ -231,3 +231,68 @@ def test_modified_resnet_resnet34_backend():
     with pytest.raises(NotImplementedError):
         ModifiedResnet(backend="resnet50").init(
             {"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def test_gather_by_choose_onehot_backward_matches_scatter():
+    """The blocked one-hot MXU formulation of the gather_by_choose backward
+    (A/B gate ISTNET_ONEHOT_CHOOSE_BWD) computes the same cotangent as the
+    AD scatter-add transpose — duplicate indices accumulate, untouched
+    pixels stay zero. f32 here, so agreement is exact up to accumulation
+    order (tight allclose)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from istnet_tpu.models import ist_net as M
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, n = 2, 24, 24, 16, 96
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    # force duplicates so the accumulate path is exercised
+    choose = jnp.asarray(
+        rng.randint(0, h * w, (b, n)).astype(np.int32).reshape(b, n))
+    choose = choose.at[:, 1].set(choose[:, 0])
+    ct = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+
+    def run(fn):
+        def f(x):
+            return jnp.sum(fn(x.reshape(b, h * w, c), choose) * ct)
+        return jax.grad(f)(feat.reshape(b, h * w, c))
+
+    g_scatter = run(M._gather_rows)
+    g_onehot = run(M._gather_rows_onehot_bwd)
+    np.testing.assert_allclose(np.asarray(g_onehot), np.asarray(g_scatter),
+                               rtol=1e-6, atol=1e-6)
+    # forward values identical
+    np.testing.assert_array_equal(
+        np.asarray(M._gather_rows(feat.reshape(b, h * w, c), choose)),
+        np.asarray(M._gather_rows_onehot_bwd(feat.reshape(b, h * w, c), choose)))
+
+
+def test_pose_dis_zero_diff_grad_is_zero_like_torch():
+    """torch.norm's subgradient at the zero vector is 0 (verified against
+    real torch); jnp.linalg.norm's is NaN. pose_dis must use the torch
+    convention — a converged run CAN produce exact-zero pose diffs (the
+    bf16 convergence test NaN'd at step ~78 before the fix)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from istnet_tpu.models.losses import pose_dis
+
+    r = jnp.tile(jnp.eye(3), (2, 1, 1))
+    t = jnp.zeros((2, 3))
+    s = jnp.ones((2, 3))
+
+    def f(r1, t1, s1):
+        return pose_dis(r1, t1, s1, r, t, s)
+
+    gr, gt, gs = jax.grad(f, argnums=(0, 1, 2))(r, t, s)
+    for g in (gr, gt, gs):
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    # nonzero diffs keep the true gradient
+    t1 = t.at[0, 1].set(3.0).at[0, 2].set(4.0)
+    g = jax.grad(lambda x: pose_dis(r, x, s, r, t, s))(t1)
+    np.testing.assert_allclose(np.asarray(g[0]), [0.0, 0.3, 0.4], atol=1e-6)
