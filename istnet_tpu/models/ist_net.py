@@ -54,6 +54,14 @@ def _make_onehot_gather(hw: int, dtype_name: str):
     matmul whose one-hot LHS is an iota-compare (never materialized at full
     HW width; ``lax.map`` keeps one block in flight). Duplicate indices
     accumulate in the MXU like the scatter — same math, f32 accumulation.
+
+    REJECTED A/B (round 5, device-time profiles of the full train step):
+    B=24/1024-pt 53.69 -> 54.88 ms, 2048-pt config 325.99 -> 340.01 ms —
+    the round-3 pencil (1.2-1.5 ms vs the 2.05 ms scatter) was wrong in
+    graph: the blocked one-hot build + lax.map sequencing cost more than
+    the scatter fusion it replaces at BOTH configs. Kept (with its
+    correctness test) as the ledgered artifact; not reachable from the
+    product path.
     """
     dtype = jnp.dtype(dtype_name)
     pb = min(hw, 4608)              # 8 blocks over 36864 (192x192)
@@ -89,22 +97,17 @@ def _gather_rows_onehot_bwd(flat: Array, choose: Array) -> Array:
     return _make_onehot_gather(flat.shape[1], jnp.dtype(flat.dtype).name)(
         flat, choose)
 
-# A/B gate (tools/train_bench.py): scatter-add transpose (default) vs the
-# blocked one-hot matmul backward above
-_ONEHOT_BWD = __import__("os").environ.get("ISTNET_ONEHOT_CHOOSE_BWD") == "1"
-
-
 def gather_by_choose(feat_map: Array, choose: Array) -> Array:
     """(B, H, W, C), (B, N) -> (B, N, C): per-point pixel features
     (ist_net.py:41-45's gather, channel-last).
 
     vmapped row-take lowers ~1.5x faster on TPU than take_along_axis with a
     broadcast channel index (measured 4.4 vs 6.4 ms at production shapes).
+    The AD scatter-add transpose is also the best measured backward — see
+    the rejected one-hot alternative in ``_make_onehot_gather``.
     """
     b, h, w, c = feat_map.shape
     flat = feat_map.reshape(b, h * w, c)
-    if _ONEHOT_BWD:
-        return _gather_rows_onehot_bwd(flat, choose)
     return _gather_rows(flat, choose)
 
 

@@ -1003,3 +1003,160 @@ def test_export_freeze_checkpoint():
     trees = C.convert_state_dict(sd, "ist_net")
     back = C.export_state_dict(trees, "ist_net")
     assert set(back) == set(sd)
+
+
+@pytest.mark.slow
+@needs_reference
+def test_bf16_loss_trend_matches_torch_f32(ref, monkeypatch):
+    """PRODUCTION-precision trajectory insurance (VERDICT r4 item 1): the
+    f64 4-step trajectory test pins bitwise behavior but cannot see a
+    bf16-only or long-horizon schedule bug. Here the real deployment
+    precision (bf16 compute policy) runs 50 update steps against the
+    reference's f32 recurrence on identical data, and the LOSS CURVES must
+    stay inside a calibrated envelope. The compressed schedule sweeps the
+    full LR band (1e-5 -> 1e-3 across the run) and several BN-momentum
+    decays, so an off-by-one in either schedule, a broken BN EMA, or a bf16
+    accumulation defect all push the curves apart far beyond the envelope.
+
+    Calibration (healthy runs): per-step relative gap starts ~1e-3 and
+    random-walks under bf16 rounding; measured max over 50 steps ~= see
+    bounds below (asserted with ~3x headroom).
+    """
+    import torch
+
+    import jax
+
+    from istnet_tpu.nn import layers, precision
+
+    _install_ext_stubs(torch)
+    resnet_mod = sys.modules["resnet"]
+    monkeypatch.setattr(resnet_mod, "resnet18",
+                        lambda pretrained=False: resnet_mod.ResNet(
+                            resnet_mod.BasicBlock, [2, 2, 2, 2]))
+    monkeypatch.setattr(layers.Dropout2d, "__call__",
+                        lambda self, x, train: x)
+
+    # img must keep the PSP map divisible by the pyramid sizes (48 -> 6x6)
+    steps, b, n, img = 50, 2, 1024, 48
+    max_epoch, iters_per_epoch = 1, 300   # step_size_up = 50 = the run
+    bn_cfg = dict(bn_momentum=0.9, bn_decay=0.5, decay_step=10, bnm_clip=0.01)
+    gamma1, gamma2 = 8.0, 10.0
+
+    def make_data(k):
+        rng = np.random.RandomState(500 + k)
+        inputs = {
+            "rgb": rng.randn(b, img, img, 3).astype(np.float32),
+            "pts": (rng.randn(b, n, 3) * 0.1).astype(np.float32),
+            "choose": rng.randint(0, img * img, (b, n)).astype(np.int64),
+            "category_label": np.array([k % 6, (k + 3) % 6], np.int64),
+            "qo": ((rng.rand(b, n, 3) - 0.5) * 0.4).astype(np.float32),
+        }
+        labels = {
+            "rotation_label": rng.randn(b, 3, 3).astype(np.float32),
+            "translation_label": (rng.randn(b, 3) * 0.1).astype(np.float32),
+            "size_label": rng.rand(b, 3).astype(np.float32),
+            "qo": inputs["qo"],
+        }
+        return inputs, labels
+
+    # ---- torch reference recurrence, f32 (solver.py:40-49, 85-122)
+    m = ref.ist_net.IST_Net(nclass=6, freeze_world_enhancer=False)
+    _randomize(torch, m, 77)
+    m.train()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.Dropout2d):
+            mod.eval()
+    optimizer = torch.optim.Adam(m.parameters(), lr=1e-4, weight_decay=0.0)
+    lr_sched = torch.optim.lr_scheduler.CyclicLR(
+        optimizer, base_lr=1e-5, max_lr=1e-3,
+        step_size_up=max_epoch * iters_per_epoch // 6, mode="triangular",
+        cycle_momentum=False)
+    bnm_lmbd = lambda it: max(
+        bn_cfg["bn_momentum"] * bn_cfg["bn_decay"] ** (int(it / bn_cfg["decay_step"])),
+        bn_cfg["bnm_clip"])
+    init_sd = {k: v.detach().numpy().copy() for k, v in m.state_dict().items()}
+
+    cfg_t = types.SimpleNamespace(
+        loss=types.SimpleNamespace(gamma1=gamma1, gamma2=gamma2),
+        freeze_world_enhancer=False)
+    t_losses = []
+    for k in range(steps):
+        inputs, labels = make_data(k)
+        lr_sched.step(k)
+        for mod in m.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.momentum = bnm_lmbd(k)
+        optimizer.zero_grad()
+        t_in = {
+            "rgb": torch.from_numpy(np.ascontiguousarray(
+                np.transpose(inputs["rgb"], (0, 3, 1, 2)))),
+            "pts": torch.from_numpy(inputs["pts"]),
+            "choose": torch.from_numpy(inputs["choose"]),
+            "category_label": torch.from_numpy(inputs["category_label"]),
+            "qo": torch.from_numpy(inputs["qo"]),
+        }
+        out = m(t_in)
+        for kk, vv in labels.items():
+            out[kk] = torch.from_numpy(vv)
+        loss = ref.ist_net.SupervisedLoss(cfg_t)(out)
+        loss.backward()
+        optimizer.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- flax side: SAME init, bf16 compute policy (deployment precision)
+    import jax.numpy as jnp
+
+    from istnet_tpu.models.ist_net import ISTNet, supervised_loss
+    from istnet_tpu.train.train_state import (
+        create_train_state, make_optimizer, make_train_step)
+    from istnet_tpu.utils.config import Config
+
+    trees = C.convert_state_dict(init_sd, "ist_net")
+    precision.set_compute_dtype(jnp.bfloat16)
+    try:
+        cfg_j = Config({
+            "optimizer": {"name": "Adam", "lr": 1e-4, "weight_decay": 0.0},
+            "max_epoch": max_epoch,
+            "bn": bn_cfg,
+        })
+        model = ISTNet(nclass=6, freeze_world_enhancer=False)
+        tx, _ = make_optimizer(cfg_j, iters_per_epoch, trees["params"])
+
+        def loss_fn(end_points, labels_):
+            return supervised_loss(end_points, labels_, gamma1=gamma1,
+                                   gamma2=gamma2, freeze_world_enhancer=False)
+
+        step_fn = jax.jit(make_train_step(model, loss_fn, tx, cfg_j.bn))
+        state = create_train_state(trees["params"], trees["batch_stats"], tx)
+        j_losses = []
+        for k in range(steps):
+            inputs, labels = make_data(k)
+            batch = {
+                "inputs": {
+                    "rgb": jnp.asarray(inputs["rgb"]),
+                    "pts": jnp.asarray(inputs["pts"]),
+                    "choose": jnp.asarray(inputs["choose"], jnp.int32),
+                    "category_label": jnp.asarray(inputs["category_label"],
+                                                  jnp.int32),
+                    "qo": jnp.asarray(inputs["qo"]),
+                },
+                "labels": {kk: jnp.asarray(vv) for kk, vv in labels.items()},
+            }
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(k))
+            j_losses.append(float(metrics["loss"]))
+    finally:
+        precision.set_compute_dtype(jnp.float32)
+
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    assert np.isfinite(j_arr).all()
+    rel = np.abs(j_arr - t_arr) / t_arr
+    # healthy-run calibration (measured): rel[:5].max 4.6e-3 (pure bf16
+    # rounding, no divergence yet), overall max 8.8e-2 by step ~43 (the
+    # bf16 trajectory random-walks away under the 1e-3 LR peak — expected
+    # chaos, not error). A schedule off-by-one (e.g. LR stuck at base)
+    # or a broken BN EMA produces O(50%+) divergence; bounds carry ~2x
+    # headroom over the healthy walk while still far below failure modes.
+    assert rel[:5].max() < 2e-2, rel[:5]
+    assert rel.max() < 2e-1, (rel.argmax(), rel.max())
+    gap = abs(j_arr[-10:].mean() - t_arr[-10:].mean()) / t_arr[-10:].mean()
+    assert gap < 1e-1, (t_arr[-10:], j_arr[-10:])
