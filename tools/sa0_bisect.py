@@ -58,7 +58,7 @@ def main() -> None:
     xyz = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.1)
     cent = jnp.asarray(rng.randn(b, m, 3).astype(np.float32) * 0.1)
 
-    def variant_kernel(mode):
+    def variant_kernel(mode, nsamples):
         def kern(new_xyz_t_ref, xyz_ref, vals_t_ref, *out_refs):
             tm = new_xyz_t_ref.shape[2]
             n_ = xyz_ref.shape[1]
@@ -75,7 +75,7 @@ def main() -> None:
             sub = lax.broadcasted_iota(jnp.int32, (n_, tm), 0)
             tri_l = B.make_tri_lower(n_)
             v3t = B.split_exact_t(vals_t, 3)
-            for radius, nsample, out_ref in zip(RADII, NS, out_refs):
+            for radius, nsample, out_ref in zip(RADII, nsamples, out_refs):
                 hit = d2 < jnp.float32(radius) ** 2
                 cs = B.sublane_cumsum(hit, sub, tri_l, n_)
                 blk, ph = B.block_phase(cs, hit)
@@ -108,7 +108,7 @@ def main() -> None:
         tm = B.bqg_tile(m, n, c, nsamples)
         new_xyz_t = jnp.swapaxes(cent, 1, 2)
         vals_t = jnp.swapaxes(xyz, 1, 2)
-        kern = variant_kernel(mode)
+        kern = variant_kernel(mode, nsamples)
 
         @jax.jit
         def call(new_xyz_t, xyz_, vals_t):
