@@ -94,35 +94,72 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
-# BasicBlock stage depths of the reference's psp_models factory
-# (modules.py:225-231). The reference hardcodes 'resnet18' (modules.py:237);
-# resnet34 is the only other BasicBlock entry. The Bottleneck variants
-# (resnet50/101/152) are defined but never instantiable through
-# Modified_PSPNet's hardcoded backend, so they are not ported.
-RESNET_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck (resnet.py:69-106). Like BasicBlock, the reference's
+    dilation argument is dead in the network it actually builds
+    (``_make_layer`` always passes ``self.current_dilation`` = 1), so the
+    3x3 runs dilation-1/padding-1."""
 
-
-class ResNet18Trunk(nn.Module):
-    """Stride-8 BasicBlock trunk returning the 512-ch layer-4 map
-    (resnet.py:182-202). ``layers`` selects the per-stage block counts —
-    (2,2,2,2) resnet18 (default) or (3,4,6,3) resnet34; the class name stays
-    for checkpoint-path stability."""
-
-    layers: tuple = (2, 2, 2, 2)
+    planes: int
+    stride: int = 1
+    downsample: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        residual = x
+        out = _RConv(self.planes, (1, 1))(x)
+        out = BatchNorm()(out, train)
+        out = nn.relu(out)
+        out = _RConv(self.planes, (3, 3), (self.stride, self.stride), padding=1)(out)
+        out = BatchNorm()(out, train)
+        out = nn.relu(out)
+        out = _RConv(self.planes * 4, (1, 1))(out)
+        out = BatchNorm()(out, train)
+        if self.downsample:
+            residual = _RConv(self.planes * 4, (1, 1), (self.stride, self.stride))(x)
+            residual = BatchNorm()(residual, train)
+        return nn.relu(out + residual)
+
+
+# Stage depths + block type of the reference's psp_models factory
+# (modules.py:225-231). The reference hardcodes 'resnet18' (modules.py:237),
+# so only the BasicBlock trunks are reachable there; the Bottleneck entries
+# (resnet50/101/152, psp_size 2048) are ported for backend-config parity —
+# PSPModule infers its input width, so they drop straight in.
+RESNET_LAYERS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+class ResNet18Trunk(nn.Module):
+    """Stride-8 trunk returning the layer-4 map (resnet.py:182-202): 512 ch
+    for the BasicBlock nets, 2048 for the Bottleneck nets (the reference's
+    ``psp_size``). ``backend`` selects the factory entry; the class name
+    stays for checkpoint-path stability."""
+
+    backend: str = "resnet18"
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        block, layers = RESNET_LAYERS[self.backend]
         x = _RConv(64, (7, 7), (2, 2), padding=3)(x)
         x = BatchNorm()(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        expansion = 4 if block is Bottleneck else 1
         for (planes, stride), n_blocks in zip(
-                ((64, 1), (128, 2), (256, 1), (512, 1)), self.layers):
-            needs_ds = stride != 1 or x.shape[-1] != planes
-            x = BasicBlock(planes, stride, downsample=needs_ds)(x, train)
+                ((64, 1), (128, 2), (256, 1), (512, 1)), layers):
+            # reference downsample condition (resnet.py:155-160):
+            # stride != 1 or inplanes != planes * expansion
+            needs_ds = stride != 1 or x.shape[-1] != planes * expansion
+            x = block(planes, stride, downsample=needs_ds)(x, train)
             for _ in range(n_blocks - 1):
-                x = BasicBlock(planes)(x, train)
+                x = block(planes)(x, train)
         return x
 
 
@@ -212,11 +249,9 @@ class ModifiedResnet(nn.Module):
     def setup(self):
         if self.backend not in RESNET_LAYERS:
             raise NotImplementedError(
-                f"backend {self.backend!r}: only the BasicBlock trunks "
-                f"{sorted(RESNET_LAYERS)} are ported — the reference's "
-                "Bottleneck psp_models entries are unreachable dead code "
-                "(modules.py:237 hardcodes 'resnet18')")
-        self.trunk = ResNet18Trunk(layers=RESNET_LAYERS[self.backend],
+                f"backend {self.backend!r}: the reference's psp_models "
+                f"factory defines {sorted(RESNET_LAYERS)} (modules.py:225-231)")
+        self.trunk = ResNet18Trunk(backend=self.backend,
                                    name="ResNet18Trunk_0")
         self.psp = PSPModule(name="PSPModule_0")
         self.drop1 = Dropout2d(0.3, name="Dropout2d_0")
@@ -332,6 +367,8 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
     # - one flat gather over a row-stacked (B*Hin, Win, C) image (vmap's
     #   batched-gather dim removed): 254 ms at B=128, 99.9 at B=32 — the
     #   flat lowering serializes; REJECTED;
+    # - three (1, 3, C) contiguous row gathers replacing the strided
+    #   (3, 3, C) slice gather: 46.96 ms total (gather 5.30 ms) — worse;
     # - earlier ledger: chunking (lax.map 32-image chunks) and one-hot
     #   row-gather matmuls also rejected (CLAUDE.md).
     # The residual is an XLA gather-lowering bandwidth effect (122 -> 86
