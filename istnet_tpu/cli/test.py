@@ -35,7 +35,9 @@ def parse_args():
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel inference over the first N devices "
                         "(1-D mesh, instance batch sharded); implies "
-                        "--eval_batch (default 64), which must divide by N")
+                        "--eval_batch (default 64), which must divide by N; "
+                        "composes with --device_preprocess (sharded "
+                        "compaction buffer)")
     p.add_argument("--vis", action="store_true", help="draw detection boxes")
     p.add_argument("--vis_axes", action="store_true",
                    help="axes-arrow box style (vis_utils.py:73-100)")
@@ -94,25 +96,33 @@ def main():
             logger.info(f"restored epoch {args.test_epoch}")
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
-        if args.device_preprocess and args.devices:
-            raise SystemExit("--device_preprocess + --devices (DP mesh) is "
-                             "not composed; use --eval_batch for cross-image "
-                             "batching on the fused device pipeline")
         if args.device_preprocess:
             from istnet_tpu.data.dataset import REAL_INTRINSICS
             dataset = TestDataset(cfg.test, args.data_dir, device_preprocess=True)
-            if args.eval_batch:
+            if args.eval_batch or args.devices:
                 # fused device preprocessing AND cross-image instance
                 # batching: instances stream through a device-resident
-                # compaction buffer, one model forward per eval_batch
+                # compaction buffer, one model forward per eval_batch;
+                # --devices shards the buffer rows + forward over a 1-D mesh
                 from istnet_tpu.eval.test_loop import test_func_device_batched
+                mesh = None
+                eval_batch = args.eval_batch or 64
+                if args.devices:
+                    from istnet_tpu.parallel import mesh as pmesh
+                    n_dev = min(args.devices, jax.device_count())
+                    if eval_batch % n_dev:
+                        raise SystemExit(f"--eval_batch {eval_batch} must "
+                                         f"divide by the {n_dev} devices")
+                    mesh = pmesh.make_mesh(n_dev)
                 logger.info(f"{len(dataset)} test images (device "
-                            f"preprocessing, batched x{args.eval_batch})")
+                            f"preprocessing, batched x{eval_batch}"
+                            + (f", {mesh.devices.size}-device mesh" if mesh
+                               else "") + ")")
                 test_func_device_batched(
                     model, variables, dataset, save_path, REAL_INTRINSICS,
                     img_size=int(cfg.test.img_size),
                     sample_num=int(cfg.test.sample_num),
-                    batch_size=args.eval_batch, logger=logger)
+                    batch_size=eval_batch, logger=logger, mesh=mesh)
             else:
                 from istnet_tpu.eval.test_loop import (make_device_forward,
                                                        test_func_device)

@@ -214,7 +214,8 @@ def test_func_device(device_forward, dataset, save_path: str, logger=None,
 
 def make_device_batched(model, variables, intrinsics, img_size: int = 192,
                         sample_num: int = 1024, batch_size: int = 64,
-                        kb: int = 16, lag: int = 2, min_points: int = 16):
+                        kb: int = 16, lag: int = 2, min_points: int = 16,
+                        mesh=None):
     """Device-side streaming compaction: compose the fused device
     preprocessing with cross-image instance batching (VERDICT r4 item 4 —
     ``test_func_device`` ran one forward per image at bucket sizes while
@@ -251,16 +252,46 @@ def make_device_batched(model, variables, intrinsics, img_size: int = 192,
     buf_n = batch_size + (lag + 1) * kb + 1
     trash = buf_n - 1
 
+    # ``mesh``: data-parallel eval over a 1-D mesh — buffer rows (and the
+    # model forward's instance batch) shard over DATA_AXIS, weights
+    # replicate; the per-image preprocess shards over the kb instance axis.
+    # The scatter into the row-sharded buffer is GSPMD's to place.
+    constrain = lambda t, spec=None: t
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        from istnet_tpu.parallel.mesh import DATA_AXIS
+        if batch_size % mesh.devices.size:
+            raise ValueError(f"eval batch {batch_size} must divide by the "
+                             f"{mesh.devices.size}-device mesh")
+        _row = NamedSharding(mesh, P(DATA_AXIS))
+
+        def constrain(t, spec=None):
+            return jax.lax.with_sharding_constraint(t, _row)
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
     def init_buffers():
-        return {
+        bufs = {
             "rgb": jnp.zeros((buf_n, img_size, img_size, 3), jnp.float32),
             "pts": jnp.zeros((buf_n, sample_num, 3), jnp.float32),
             "choose": jnp.zeros((buf_n, sample_num), jnp.int32),
             "category_label": jnp.zeros((buf_n,), jnp.int32),
-        }, jnp.zeros((), jnp.int32)
+        }
+        if mesh is not None:
+            bufs = jax.jit(lambda b: {k: constrain(v) for k, v in b.items()}
+                           )(bufs)
+        return bufs, jnp.zeros((), jnp.int32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def append(buffers, pos, rgb_full, depth_raw, masks, bboxes, category, key):
+    def append(buffers, pos, rgb_full, depth_raw, masks, bboxes,
+               category, key):
+        # REJECTED A/B (round 5): shipping masks bit-packed (np.packbits,
+        # 8x fewer H2D bytes) + depth as u16 mm, unpacked on device —
+        # eval_bench device_batched 1.86 -> 1.71 img/s in this environment:
+        # the loop is HOST-decode-bound (3 PNG decodes/image on one core,
+        # ~0.5 s/img), so shrinking uploads only added host pack work; on a
+        # real PCIe host bytes are even less binding. Plain arrays kept.
         filled = fill_missing_tpu(depth_raw[None])[0]
         pre = preprocess_shared_image_tpu(
             rgb_full, filled, masks, bboxes, intr, key,
@@ -269,17 +300,18 @@ def make_device_batched(model, variables, intrinsics, img_size: int = 192,
         dst = jnp.where(valid, pos + jnp.cumsum(valid) - 1, trash)
         chunk = {"rgb": pre["rgb"], "pts": pre["pts"], "choose": pre["choose"],
                  "category_label": category.astype(jnp.int32)}
-        buffers = {k: buffers[k].at[dst].set(chunk[k].astype(buffers[k].dtype))
-                   for k in buffers}
+        buffers = {k: constrain(
+            buffers[k].at[dst].set(chunk[k].astype(buffers[k].dtype)))
+            for k in buffers}
         return buffers, pos + valid.sum(dtype=jnp.int32), pre["n_valid"]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def forward(buffers, pos):
-        inputs = {k: v[:batch_size] for k, v in buffers.items()}
+        inputs = {k: constrain(v[:batch_size]) for k, v in buffers.items()}
         ep = model.apply(variables, inputs, train=False)
         ep = {k: ep[k] for k in
               ("pred_rotation", "pred_translation", "pred_size")}
-        buffers = {k: v.at[: buf_n - batch_size].set(v[batch_size:])
+        buffers = {k: constrain(v.at[: buf_n - batch_size].set(v[batch_size:]))
                    for k, v in buffers.items()}
         return ep, buffers, pos - batch_size
 
@@ -291,7 +323,7 @@ def test_func_device_batched(model, variables, dataset, save_path: str,
                              sample_num: int = 1024, batch_size: int = 64,
                              kb: int = 16, min_points: int = 16, lag: int = 2,
                              logger=None, progress: bool = True,
-                             seed: int = 0) -> None:
+                             seed: int = 0, mesh=None) -> None:
     """Fully-fused device pipeline WITH cross-image instance batching: the
     dataset yields raw arrays (``TestDataset(device_preprocess=True)``); the
     model runs once per ``batch_size`` valid instances across images instead
@@ -317,7 +349,7 @@ def test_func_device_batched(model, variables, dataset, save_path: str,
     init_buffers, append, forward = make_device_batched(
         model, variables, intrinsics, img_size=img_size,
         sample_num=sample_num, batch_size=batch_size, kb=kb, lag=lag,
-        min_points=min_points)
+        min_points=min_points, mesh=mesh)
     buffers, pos = init_buffers()
     key = jax.random.PRNGKey(seed)
 

@@ -390,3 +390,48 @@ def test_device_batched_matches_device_per_image(synthetic_root, tmp_path):
         np.testing.assert_array_equal(a["gt_RTs"], b["gt_RTs"])
     iou_aps, pose_aps = evaluate(save_b, plot_figure=False)
     assert np.isfinite(iou_aps).all() and np.isfinite(pose_aps).all()
+
+
+def test_device_batched_over_mesh(synthetic_root, tmp_path):
+    """The composed device pipeline runs DP over a 1-D mesh (buffer rows +
+    model forward sharded over 8 virtual devices): same files and kept
+    instances as the single-device batched path."""
+    from istnet_tpu.data.dataset import REAL_INTRINSICS
+    from istnet_tpu.eval.test_loop import test_func_device_batched
+    from istnet_tpu.models.ist_net import ISTNet
+    from istnet_tpu.parallel import mesh as pmesh
+
+    cfg = _cfg()
+    ds = TestDataset(cfg, synthetic_root, device_preprocess=True)
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {
+        "rgb": jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+        "pts": jnp.zeros((1, N_PTS, 3)),
+        "choose": jnp.zeros((1, N_PTS), jnp.int32),
+        "category_label": jnp.zeros((1,), jnp.int32),
+        "qo": jnp.zeros((1, N_PTS, 3)),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    save_1 = str(tmp_path / "res_b1")
+    test_func_device_batched(model, ev, ds, save_1, REAL_INTRINSICS,
+                             img_size=IMG_SIZE, sample_num=N_PTS,
+                             batch_size=8, kb=2, progress=False)
+    save_m = str(tmp_path / "res_mesh")
+    test_func_device_batched(model, ev, ds, save_m, REAL_INTRINSICS,
+                             img_size=IMG_SIZE, sample_num=N_PTS,
+                             batch_size=8, kb=2, progress=False,
+                             mesh=pmesh.make_mesh(8))
+    pkls = sorted(os.listdir(save_1))
+    assert sorted(os.listdir(save_m)) == pkls and len(pkls) == 2
+    for name in pkls:
+        with open(os.path.join(save_1, name), "rb") as f:
+            a = pickle.load(f)
+        with open(os.path.join(save_m, name), "rb") as f:
+            b = pickle.load(f)
+        np.testing.assert_array_equal(a["pred_class_ids"], b["pred_class_ids"])
+        assert a["pred_RTs"].shape == b["pred_RTs"].shape
+        assert np.isfinite(b["pred_RTs"]).all()

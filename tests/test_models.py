@@ -229,8 +229,39 @@ def test_modified_resnet_resnet34_backend():
 
     import pytest
     with pytest.raises(NotImplementedError):
-        ModifiedResnet(backend="resnet50").init(
+        ModifiedResnet(backend="resnext9000").init(
             {"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def test_modified_resnet_bottleneck_backend():
+    """The Bottleneck psp_models entries (resnet50/101/152, psp_size 2048 —
+    reference modules.py:225-231; unreachable there through the hardcoded
+    'resnet18' but part of the configured surface). Checks the 1-1-4
+    expansion topology (layer-4 at 2048 ch feeding PSP) and the encoder
+    contract end to end."""
+    from istnet_tpu.nn.resnet_psp import ModifiedResnet, ResNet18Trunk
+
+    x = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    trunk = ResNet18Trunk(backend="resnet50")
+    tv = jax.jit(trunk.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0)}, x, train=True)
+    feat = trunk.apply(
+        {"params": tv["params"], "batch_stats": tv["batch_stats"]},
+        x, train=False)
+    assert feat.shape == (1, 6, 6, 2048)   # stride-8, psp_size 2048
+    # 3+4+6+3 Bottlenecks at 3 convs each + stem + 4 downsamples = 53 convs
+    flat = jax.tree_util.tree_leaves(tv["params"])
+    n_kernels = sum(1 for l in flat if l.ndim == 4)
+    assert n_kernels == 16 * 3 + 1 + 4
+
+    m = ModifiedResnet(backend="resnet50")
+    variables = jax.jit(m.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    out = jax.jit(lambda v, a: m.apply(v, a, train=False))(ev, x)
+    assert out.shape == (1, 48, 48, 128)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_gather_by_choose_onehot_backward_matches_scatter():
