@@ -114,11 +114,17 @@ def _images_per_block(b: int, h: int, w: int, cin: int, cout: int,
     """Largest block size keeping the f32 stage buffers + DMA windows under
     the VMEM budget; per-image f32 live set is ~(4*2h*w*3cout + 4*2h*2w*cout)
     bytes plus the in/out blocks."""
-    per_img = (h * w * cin + 4 * h * w * cout) * itemsize  # in + out blocks
-    f32_live = (2 * h * w * 3 * cout + 4 * h * w * cout) * 4 * 2
-    for ipb in (8, 4, 2, 1):
-        if b % ipb == 0 and (per_img * 2 + f32_live) * ipb <= 80 * 1024 * 1024:
-            return ipb
+    import os
+    force = os.environ.get("ISTNET_FOLD_IPB")
+    if force:
+        return int(force)
+    # MEASURED (round 5, up2 production shape 48x48x256->64, device-time
+    # profiles): ipb 4 -> 2 -> 1 monotonically improves the kernel — B=32
+    # 948 -> 881 -> 771 us, B=128 4.13 -> 3.82 -> 3.48 ms (full forward
+    # 10.76 -> 10.58 and 45.52 -> 44.86 ms). Same story as the rejected
+    # FP-kernel ipb A/B: coarser blocks hurt DMA/compute overlap more than
+    # they amortize per-program cost. One image per program is the default;
+    # ISTNET_FOLD_IPB overrides for future shapes.
     return 1
 
 
