@@ -123,6 +123,14 @@ def bqg_tile(m: int, n: int, c: int, nsamples) -> int:
     per slot, and those reduction trees over (TM, N) cost more VPU time than
     the MXU padding they save. TM=512 is also ~11% slower than 256 for the
     direct form (tools/bqg_radix_ab history, commit-msg numbers)."""
+    import os
+    force = os.environ.get("ISTNET_BQG_TM")  # A/B override
+    if force:
+        return int(force)
+    # round-5 A/B on the transposed kernel at the SA0 shape (B=32 in-graph
+    # device time): TM=256 is bit-for-bit the same 1156.3 us as 512 (the
+    # kernel is VPU-work-bound, tools/sa0_bisect.py), TM=128 is worse
+    # (1257.5) — per-program overhead shows below 256.
     tm = min(m, 512)
     # x8 on the output term: Mosaic double-buffers output blocks. The (N, N)
     # triangle only exists on the matmul-cumsum path (N <= 1024); the
