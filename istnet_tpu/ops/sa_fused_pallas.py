@@ -53,6 +53,10 @@ def sa_tile(m: int, n: int, c: int, nsamples, c_out_max: int) -> int:
     the (ns*TM, c_out) MLP activations (lane-padded, bf16). Larger tiles
     than the grouping kernel's fit — e.g. stage 2 (N=512, C=67) runs TM=256
     where bqg_tile picks 128, halving the per-program launch count."""
+    import os
+    force = os.environ.get("ISTNET_SA_TM")  # A/B override
+    if force:
+        return min(m, int(force))
     tm = min(m, 512)
     ns = max(nsamples)
     while tm > 64 and (tm * n * 12 + n * n

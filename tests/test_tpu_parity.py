@@ -221,3 +221,81 @@ def test_depth_fill_pallas_on_device_matches_xla():
     want = jax.jit(fill_in_multiscale_tpu)(jnp.asarray(d))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_device_batched_compaction_buffer_on_device():
+    """The device-resident compaction buffer (test_func_device_batched's
+    append/forward programs) through the REAL compiler: the compacting
+    scatter lands instances at the device cursor in order, the trash slot
+    swallows invalid rows, and the post-forward shift moves the overflow
+    region intact — with buffer donation live. CPU interpret coverage:
+    tests/test_e2e_synthetic.py."""
+    import numpy as np
+
+    from istnet_tpu.data.dataset import REAL_INTRINSICS
+    from istnet_tpu.eval.test_loop import make_device_batched
+    from istnet_tpu.models.ist_net import ISTNet
+
+    img_size, npts, kb, bsz = 48, 128, 4, 8
+    model = ISTNet(nclass=6, sa_npoints=(32, 16, 8, 8))
+    dummy = {
+        "rgb": jnp.zeros((1, img_size, img_size, 3)),
+        "pts": jnp.zeros((1, npts, 3)),
+        "choose": jnp.zeros((1, npts), jnp.int32),
+        "category_label": jnp.zeros((1,), jnp.int32),
+        "qo": jnp.zeros((1, npts, 3)),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy, train=True)
+    ev = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    init_buffers, append, forward = make_device_batched(
+        model, ev, REAL_INTRINSICS, img_size=img_size, sample_num=npts,
+        batch_size=bsz, kb=kb, lag=1, min_points=16)
+    buffers, pos = init_buffers()
+
+    rng = np.random.RandomState(0)
+    h, w = 480, 640
+
+    def synth_image(seed, n_valid_instances):
+        r = np.random.RandomState(seed)
+        depth = np.zeros((h, w), np.float32)
+        masks = np.zeros((kb, h, w), bool)
+        bboxes = np.zeros((kb, 4), np.int32)
+        cats = r.randint(0, 6, kb).astype(np.int64)
+        for i in range(kb):
+            y0, x0 = r.randint(60, 240), r.randint(60, 340)
+            hh, ww = 120, 120
+            if i < n_valid_instances:
+                depth[y0:y0 + hh, x0:x0 + ww] = 900 + 300 * r.rand(hh, ww)
+                masks[i, y0 + 5:y0 + hh - 5, x0 + 5:x0 + ww - 5] = True
+            bboxes[i] = [y0, x0, y0 + hh, x0 + ww]
+        rgb = (r.rand(h, w, 3) * 255).astype(np.uint8)
+        return rgb, depth, masks, bboxes, cats
+
+    # 3 chunks with 3/2/4 valid instances -> 9 valid rows, one flush at 8
+    expect_cats = []
+    key = jax.random.PRNGKey(3)
+    for ci, nv in enumerate((3, 2, 4)):
+        rgb, depth, masks, bboxes, cats = synth_image(10 + ci, nv)
+        key, sub = jax.random.split(key)
+        buffers, pos, n_valid = append(buffers, pos, rgb, depth, masks,
+                                       bboxes, cats, sub)
+        nv_host = np.asarray(n_valid)
+        got_valid = nv_host > 16
+        assert got_valid.sum() == nv, (ci, nv_host)
+        expect_cats.extend(cats[got_valid].tolist())
+    assert int(np.asarray(pos)) == 9
+    # rows 0..8 hold the valid instances' categories in stream order
+    np.testing.assert_array_equal(
+        np.asarray(buffers["category_label"])[:9], expect_cats)
+
+    pre_overflow = np.asarray(buffers["category_label"])[bsz:bsz + 1].copy()
+    ep, buffers, pos = forward(buffers, pos)
+    assert int(np.asarray(pos)) == 1
+    # overflow row shifted to the front intact
+    np.testing.assert_array_equal(
+        np.asarray(buffers["category_label"])[:1], pre_overflow)
+    for k in ("pred_rotation", "pred_translation", "pred_size"):
+        assert np.isfinite(np.asarray(ep[k])).all()
