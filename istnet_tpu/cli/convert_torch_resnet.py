@@ -33,8 +33,14 @@ _TRUNK_BLOCKS = [("layer1", 64), ("layer2", 128), ("layer3", 256), ("layer4", 51
 
 
 def build_flax_trees(np_sd: dict) -> tuple[dict, dict]:
-    """torch resnet18 state dict -> (params, batch_stats) subtrees matching
-    ``istnet_tpu.nn.resnet_psp.ResNet18Trunk``'s module naming."""
+    """torchvision ResNet state dict -> (params, batch_stats) subtrees
+    matching ``istnet_tpu.nn.resnet_psp.ResNet18Trunk``'s module naming.
+
+    Works for every factory backend: per-stage block counts and the block
+    type (BasicBlock conv1/conv2 vs Bottleneck conv1..conv3) are detected
+    from the keys, so resnet18/34 (BasicBlock) and resnet50/101/152
+    (Bottleneck) all convert. Weights are stride-independent, so the
+    stride-8 modification needs no remapping (module docstring)."""
 
     def conv(name):
         return {"kernel": np.transpose(np_sd[name + ".weight"], (2, 3, 1, 0))}
@@ -44,49 +50,40 @@ def build_flax_trees(np_sd: dict) -> tuple[dict, dict]:
         s = {"mean": np_sd[name + ".running_mean"], "var": np_sd[name + ".running_var"]}
         return p, s
 
-    params: dict = {}
-    stats: dict = {}
+    bottleneck = "layer1.0.conv3.weight" in np_sd
+    n_convs = 3 if bottleneck else 2
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
 
-    def put(path, conv_p, bn_p, bn_s):
-        params[path + "_conv"] = conv_p
-        params[path + "_bn"] = bn_p
-        stats[path + "_bn"] = bn_s
-
-    bn0_p, bn0_s = bn("bn1")
-    params["Conv_0"] = conv("conv1")
-    params["BatchNorm_0"] = bn0_p
-    stats["BatchNorm_0"] = bn0_s
-
-    # flax auto-names BasicBlock_0..7 in declaration order; each block:
-    # _RConv_0/_RConv_1 (+ _RConv_2 downsample), BatchNorm_0/1 (+2)
+    # flax auto-names <Block>_0..N-1 in declaration order; each block:
+    # _RConv_0..n-1 (+ _RConv_n downsample), BatchNorm_0..n-1 (+n)
     blk = 0
     flax_blocks_p: dict = {}
     flax_blocks_s: dict = {}
     for lname, _ in _TRUNK_BLOCKS:
-        for sub in (0, 1):
+        n_blocks = 1 + max(int(k.split(".")[1]) for k in np_sd
+                           if k.startswith(lname + "."))
+        for sub in range(n_blocks):
             prefix = f"{lname}.{sub}"
             p: dict = {}
             s: dict = {}
-            p["_RConv_0"] = {"Conv_0": conv(prefix + ".conv1")}
-            bp, bs = bn(prefix + ".bn1")
-            p["BatchNorm_0"] = bp
-            s["BatchNorm_0"] = bs
-            p["_RConv_1"] = {"Conv_0": conv(prefix + ".conv2")}
-            bp, bs = bn(prefix + ".bn2")
-            p["BatchNorm_1"] = bp
-            s["BatchNorm_1"] = bs
+            for ci in range(n_convs):
+                p[f"_RConv_{ci}"] = {"Conv_0": conv(f"{prefix}.conv{ci + 1}")}
+                bp, bs = bn(f"{prefix}.bn{ci + 1}")
+                p[f"BatchNorm_{ci}"] = bp
+                s[f"BatchNorm_{ci}"] = bs
             if prefix + ".downsample.0.weight" in np_sd:
-                p["_RConv_2"] = {"Conv_0": conv(prefix + ".downsample.0")}
+                p[f"_RConv_{n_convs}"] = {"Conv_0": conv(prefix + ".downsample.0")}
                 bp, bs = bn(prefix + ".downsample.1")
-                p["BatchNorm_2"] = bp
-                s["BatchNorm_2"] = bs
-            flax_blocks_p[f"BasicBlock_{blk}"] = p
-            flax_blocks_s[f"BasicBlock_{blk}"] = s
+                p[f"BatchNorm_{n_convs}"] = bp
+                s[f"BatchNorm_{n_convs}"] = bs
+            flax_blocks_p[f"{block_name}_{blk}"] = p
+            flax_blocks_s[f"{block_name}_{blk}"] = s
             blk += 1
 
-    trunk_p = {"_RConv_0": {"Conv_0": params["Conv_0"]},
-               "BatchNorm_0": params["BatchNorm_0"], **flax_blocks_p}
-    trunk_s = {"BatchNorm_0": stats["BatchNorm_0"], **flax_blocks_s}
+    bn0_p, bn0_s = bn("bn1")
+    trunk_p = {"_RConv_0": {"Conv_0": conv("conv1")},
+               "BatchNorm_0": bn0_p, **flax_blocks_p}
+    trunk_s = {"BatchNorm_0": bn0_s, **flax_blocks_s}
     return trunk_p, trunk_s
 
 

@@ -140,3 +140,72 @@ def test_load_into_full_model_params():
     np.testing.assert_allclose(np.asarray(got), want)
     got_s = stats["rgb_cam_extractor"]["ResNet18Trunk_0"]["BatchNorm_0"]["mean"]
     np.testing.assert_allclose(np.asarray(got_s), sd["bn1.running_mean"])
+
+
+def _random_torch_sd_arch(arch):
+    """torch-format state dict skeleton for any factory backend."""
+    depths = {"resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3)}[arch]
+    bottleneck = arch == "resnet50"
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = torch.randn(o, i, k, k) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.1
+        sd[name + ".running_mean"] = torch.randn(c) * 0.1
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    exp = 4 if bottleneck else 1
+    c_in = 64
+    for (lname, c), nb in zip([("layer1", 64), ("layer2", 128),
+                               ("layer3", 256), ("layer4", 512)], depths):
+        for sub in range(nb):
+            prefix = f"{lname}.{sub}"
+            ci = c_in if sub == 0 else c * exp
+            if bottleneck:
+                conv(prefix + ".conv1", c, ci, 1)
+                bn(prefix + ".bn1", c)
+                conv(prefix + ".conv2", c, c, 3)
+                bn(prefix + ".bn2", c)
+                conv(prefix + ".conv3", c * 4, c, 1)
+                bn(prefix + ".bn3", c * 4)
+            else:
+                conv(prefix + ".conv1", c, ci, 3)
+                bn(prefix + ".bn1", c)
+                conv(prefix + ".conv2", c, c, 3)
+                bn(prefix + ".bn2", c)
+            if sub == 0 and ci != c * exp:
+                conv(prefix + ".downsample.0", c * exp, ci, 1)
+                bn(prefix + ".downsample.1", c * exp)
+        c_in = c * exp
+    return sd
+
+
+@pytest.mark.parametrize("arch", ["resnet34", "resnet50"])
+def test_converted_tree_matches_flax_structure_other_backends(arch):
+    """The converter detects block counts and type from the keys, so the
+    resnet34 (BasicBlock) and resnet50 (Bottleneck) factory backends
+    convert into exactly the trunk trees our modules create."""
+    sd = {k: v.numpy() for k, v in _random_torch_sd_arch(arch).items()}
+    trunk_p, trunk_s = build_flax_trees(sd)
+
+    model = ResNet18Trunk(backend=arch)
+    x = jnp.zeros((1, 48, 48, 3))
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), x, False)
+
+    def paths(tree, prefix=""):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, prefix + k + "/")
+            else:
+                out.add(prefix + k + ":" + str(np.shape(v)))
+        return out
+
+    assert paths(trunk_p) == paths(variables["params"])
+    assert paths(trunk_s) == paths(variables["batch_stats"])
