@@ -152,7 +152,111 @@ def _sa_fused_kernel(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
         out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def _sa_fused_kernel_l1(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
+                        radii: tuple, nsamples: tuple, exact_c: int,
+                        nlayers: int):
+    """L1-fused variant: the slot-extraction dot emits LAYER-1
+    pre-activations directly.
+
+    Reassociation (sa0_bisect insight — MXU dots are overlapped/free, the
+    per-slot VPU planes and scratch traffic are the cost): layer 1 is
+    linear, so ``relu(bf16(val - cen) @ W1 + b1)`` per extracted row becomes
+    ``relu(extract(U) - cen@W1 + b1)`` with ``U = val @ W1`` computed ONCE
+    per radius from the exact split values (bf16 products are exact in f32;
+    one DEFAULT-precision dot). Each slot then needs ONE one-hot dot into
+    c1 lanes — no grouped-row recombine, no (TM, C) scratch write — and the
+    batched MLP starts at layer 2. Numerics: U rounds to bf16 before
+    extraction and cen@W1 is subtracted after the dot instead of before, a
+    bf16-class difference inside the fused path's existing tolerance
+    contract (the grouping kernels' bit-parity contracts are untouched).
+    """
+    nr = len(radii)
+    w_refs = [[rest[(r * nlayers + l) * 2] for l in range(nlayers)]
+              for r in range(nr)]
+    b_refs = [[rest[(r * nlayers + l) * 2 + 1] for l in range(nlayers)]
+              for r in range(nr)]
+    out_refs = rest[nr * nlayers * 2:nr * nlayers * 2 + nr]
+    scratch_ref = rest[-1]
+
+    tm = new_xyz_ref.shape[1]
+    n = xyz_t_ref.shape[2]
+    c = vals_ref.shape[2]
+    a = new_xyz_ref[0]            # (TM, 3)
+    bt = xyz_t_ref[0]             # (3, N)
+    vals = vals_ref[0]            # (N, C) f32
+
+    an = jnp.sum(a * a, axis=1, keepdims=True)
+    bn = jnp.sum(bt * bt, axis=0, keepdims=True)
+    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    d2 = an + bn - 2.0 * ab       # (TM, N), shared by all radii
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    tri = make_tri(n)
+    v3 = split_exact(vals, exact_c)                  # (N, C + 2*exact_c)
+
+    for radius, nsample, out_ref, ws, bs in zip(radii, nsamples, out_refs,
+                                                w_refs, b_refs):
+        w1 = ws[0][...]                              # (C, c1) bf16
+        c1 = w1.shape[1]
+        # U = val @ W1 exactly in f32 accumulation: the split parts dot the
+        # same xyz rows of W1 (their sum reconstructs the f32 value)
+        w1_ext = (jnp.concatenate([w1, w1[:exact_c], w1[:exact_c]], axis=0)
+                  if exact_c else w1)
+        u = jnp.dot(v3, w1_ext, preferred_element_type=jnp.float32)
+        u_bf = u.astype(jnp.bfloat16)                # (N, c1)
+        u0 = u_bf[0:1, :].astype(jnp.float32)        # no-hit -> point 0
+        cen_w = jnp.dot(a, w1[:3].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)   # (TM, c1)
+
+        hit = d2 < jnp.float32(radius) ** 2
+        cs = lane_cumsum(hit, lane, tri, n)
+        cnt = cs[:, n - 1:n]
+        no_hit = cnt == 0
+        blk, ph = block_phase(cs, hit)
+        ph_ind = [bp_indicator(ph, v) for v in range(BP_PHASES)]
+        z0 = None
+        red = None
+        for s in range(nsample):
+            if s % BP_PHASES == 0:
+                blk_ind = bp_indicator(blk, s // BP_PHASES)
+            oh = blk_ind * ph_ind[s % BP_PHASES]
+            z = jnp.dot(oh, u_bf, preferred_element_type=jnp.float32)
+            z = jnp.where(no_hit, u0, z) - cen_w     # (TM, c1)
+            if s == 0:
+                z0 = z
+            else:  # pad slots (cnt < s+1) repeat the first hit = slot 0
+                z = jnp.where(cnt >= s + 1, z, z0)
+            if nlayers == 1:
+                # single-layer MLP: bias + ReLU commute past the slot max
+                red = z if red is None else jnp.maximum(red, z)
+            else:
+                h_s = jnp.maximum(z + bs[0][...], 0.0).astype(jnp.bfloat16)
+                scratch_ref[s * tm:(s + 1) * tm, :c1] = h_s
+        if nlayers == 1:
+            out_ref[0] = jnp.maximum(red + bs[0][...], 0.0
+                                     ).astype(out_ref.dtype)
+            continue
+        h = scratch_ref[:nsample * tm, :c1]          # (ns*TM, c1) bf16
+        for l in range(1, nlayers):
+            z = jnp.dot(h, ws[l][...], preferred_element_type=jnp.float32)
+            if l < nlayers - 1:
+                h = jnp.maximum(z + bs[l][...], 0.0).astype(jnp.bfloat16)
+        red = z[:tm]
+        for s in range(1, nsample):
+            red = jnp.maximum(red, z[s * tm:(s + 1) * tm])
+        out = jnp.maximum(red + bs[nlayers - 1][...], 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _l1fuse_enabled() -> bool:
+    # default ON (round-5 in-graph A/B: eval forward 10.58 -> 10.17 ms
+    # @B=32 and 44.86 -> 43.26 ms @B=128; SA1/2/3 548/183/101 us from
+    # 733/307/192); ISTNET_SA_L1FUSE=0 selects the legacy two-phase kernel
+    import os
+    return os.environ.get("ISTNET_SA_L1FUSE", "1") == "1"
+
+
 def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
                         new_xyz: Array, features: Array,
                         folded, interpret: bool = False) -> list:
@@ -165,6 +269,14 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
     (use_xyz=True) exactly; the MLP math matches the unfused eval path up to
     bf16 rounding of the folded weights.
     """
+    return _sa_msg_fused_impl(radii, nsamples, _l1fuse_enabled(), xyz,
+                              new_xyz, features, folded, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 7))
+def _sa_msg_fused_impl(radii: tuple, nsamples: tuple, l1: bool, xyz: Array,
+                       new_xyz: Array, features: Array,
+                       folded, interpret: bool = False) -> list:
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)
@@ -200,8 +312,11 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
             arg.shape, lambda i, j, r=arg.ndim: (0,) * r,
             memory_space=pltpu.VMEM))
 
+    kern = _sa_fused_kernel_l1 if l1 else _sa_fused_kernel
+    scratch_c = (max(layers[0][0].shape[-1] for layers in folded)
+                 if l1 else c)
     out = pl.pallas_call(
-        functools.partial(_sa_fused_kernel, radii=tuple(radii),
+        functools.partial(kern, radii=tuple(radii),
                           nsamples=tuple(nsamples), exact_c=exact_c,
                           nlayers=nlayers),
         out_shape=[jax.ShapeDtypeStruct((b, m, layers[-1][0].shape[-1]),
@@ -215,7 +330,8 @@ def sa_msg_fused_pallas(radii: tuple, nsamples: tuple, xyz: Array,
         out_specs=[pl.BlockSpec((1, tm, layers[-1][0].shape[-1]),
                                 lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM) for layers in folded],
-        scratch_shapes=[pltpu.VMEM((max(nsamples) * tm, c), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((max(nsamples) * tm, scratch_c),
+                                   jnp.bfloat16)],
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), xyz_t, vals, *wb_args)
     return list(out)

@@ -56,12 +56,48 @@ def test_sa_fused_kernel_matches_composition():
 
 def test_sa_fused_grouping_bit_parity_via_identity_mlp():
     """With a single identity layer the fused kernel reduces to
-    relu(max(grouped)) on the bf16-rounded grouped rows — bitwise equal to
-    the grouping kernel's bf16 output. Pins that the shared rank/one-hot/
-    bf16-split formulation stays EXACT through the fused path (the
-    bf16x3-exactness caveat, CLAUDE.md)."""
+    relu(max(grouped)) — bitwise equal to the grouping kernel's bf16 output
+    when every input value is bf16-exact. Pins that the L1-fused default
+    path's extraction (one-hot dots into U = vals @ W1) stays EXACT.
+
+    Coordinates sit on the 2^-8 dyadic grid so that xyz values, their cen
+    subtraction, and the identity U are all exact in bf16/f32 — under the
+    L1 fusion xyz rounds to bf16 BEFORE the cen subtraction, so continuous
+    coords would differ by bf16 ulps (by design, inside the fused path's
+    tolerance contract); exact inputs make bit equality a real invariant."""
     from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
 
+    rng = np.random.RandomState(9)
+    xyz = rng.randint(-64, 64, size=(2, 256, 3)).astype(np.float32) / 256.0
+    xyz[1, 200:] += 64.0          # dyadic shift: image 1 has no hits
+    cent = rng.randint(-64, 64, size=(2, 128, 3)).astype(np.float32) / 256.0
+    feats = jnp.asarray(rng.randn(2, 256, 5).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    c = 3 + 5
+    eye = (jnp.eye(c, dtype=jnp.float32), jnp.zeros((c,), jnp.float32))
+    folded = ((eye,), (eye,))
+
+    got = sa_msg_fused_pallas(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent),
+                              feats, folded, interpret=True)
+    grouped = ball_query_group_pallas(RADII, NS, jnp.asarray(xyz),
+                                      jnp.asarray(cent), feats, True,
+                                      interpret=True,
+                                      out_dtype=jnp.bfloat16)
+    for g, gr in zip(got, grouped):
+        want = jnp.maximum(jnp.max(gr.astype(jnp.float32), axis=2), 0.0
+                           ).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(want, np.float32))
+
+
+def test_sa_fused_legacy_kernel_bit_parity_continuous(monkeypatch):
+    """The legacy two-phase kernel (ISTNET_SA_L1FUSE=0) keeps the stronger
+    invariant: bitwise parity with the grouping kernel on CONTINUOUS
+    coordinates (it extracts exact f32 rows via the bf16x3 split before
+    the MLP)."""
+    from istnet_tpu.ops.ball_query_pallas import ball_query_group_pallas
+
+    monkeypatch.setenv("ISTNET_SA_L1FUSE", "0")
     rng = np.random.RandomState(9)
     xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
     xyz[1, 200:] += 50.0
