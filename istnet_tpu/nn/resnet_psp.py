@@ -369,6 +369,8 @@ def _sparse_head(h: Array, choose: Array, conv3x3, post_conv, final) -> Array:
     #   flat lowering serializes; REJECTED;
     # - three (1, 3, C) contiguous row gathers replacing the strided
     #   (3, 3, C) slice gather: 46.96 ms total (gather 5.30 ms) — worse;
+    # - nine single-pixel vmapped row-takes (the fast final-head lowering):
+    #   gathers 13.28 ms at 23 GB/s — far worse (5th formulation);
     # - earlier ledger: chunking (lax.map 32-image chunks) and one-hot
     #   row-gather matmuls also rejected (CLAUDE.md).
     # The residual is an XLA gather-lowering bandwidth effect (122 -> 86

@@ -138,20 +138,25 @@ def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     kernel — the grouped tensor and MLP activations never reach HBM), or
     ``None`` when unsupported (non-TPU, tile mismatch, or no features).
 
-    Stage 1 (features=None) stays unfused BY MEASUREMENT: the kernel
-    supports it, but at C=3 the grouped tensor is small, the one-hot dot
-    dominates the stage, and the in-kernel K=3 MLP dots are pure overhead —
-    fusing it measured 2333 vs 2430 inf/s/chip on the full eval forward.
+    Stage 1 (features=None) stays unfused by TWO measurements: round 2
+    (in-kernel K=3 MLP dots pure overhead, 2333 vs 2430 inf/s) and round 5
+    (re-A/B'd after the L1 fusion removed those dots: the L1 kernel's
+    NON-transposed slot dots pay the pad-to-128-lanes the transposed bqg
+    kernel exists to avoid — stage-1 kernel 1977 vs 1156 us, full forward
+    10.90 vs 10.17 ms @B=32 via ISTNET_SA1_FUSE=1).
 
     ``folded``: per radius, per layer (W, b) with eval-BN folded in; see
     ``sa_fused_pallas.sa_msg_fused_pallas``. Returns a list of per-radius
     (B, M, c_last) bf16 post-max features.
     """
-    if features is None or not _on_tpu():
+    import os
+    if features is None and os.environ.get("ISTNET_SA1_FUSE") != "1":
+        return None
+    if not _on_tpu():
         return None
     from istnet_tpu.ops import sa_fused_pallas as _sa_pl
     n, m = xyz.shape[1], new_xyz.shape[1]
-    c = features.shape[-1] + 3
+    c = 3 if features is None else features.shape[-1] + 3
     if any(len(layers) != len(folded[0]) for layers in folded):
         return None  # per-radius MLP depths differ -> unfused path
     c_out_max = max(w.shape[-1] for layers in folded for w, _ in layers)
