@@ -138,12 +138,14 @@ def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     kernel — the grouped tensor and MLP activations never reach HBM), or
     ``None`` when unsupported (non-TPU, tile mismatch, or no features).
 
-    Stage 1 (features=None) stays unfused by TWO measurements: round 2
-    (in-kernel K=3 MLP dots pure overhead, 2333 vs 2430 inf/s) and round 5
-    (re-A/B'd after the L1 fusion removed those dots: the L1 kernel's
-    NON-transposed slot dots pay the pad-to-128-lanes the transposed bqg
-    kernel exists to avoid — stage-1 kernel 1977 vs 1156 us, full forward
-    10.90 vs 10.17 ms @B=32 via ISTNET_SA1_FUSE=1).
+    Stage 1 (features=None) stays unfused by THREE measurements: round 2
+    (in-kernel K=3 MLP dots pure overhead, 2333 vs 2430 inf/s); round 5
+    non-transposed L1 (pad-to-128 slot-dot lanes: 1977 vs 1156 us, forward
+    10.90 vs 10.17 ms @B=32); round 5 TRANSPOSED L1
+    (sa_msg_fused_t_l1_pallas — c1-sublane dots, absorbs the XLA MLP+max):
+    exact parity at B=32 (10.17 ms both) and -0.9% at B=128 (43.63 vs
+    43.26) — the XLA MLP it absorbs is already fully overlapped. The
+    transposed kernel stays (tested) behind ISTNET_SA1_FUSE=1.
 
     ``folded``: per radius, per layer (W, b) with eval-BN folded in; see
     ``sa_fused_pallas.sa_msg_fused_pallas``. Returns a list of per-radius
@@ -160,6 +162,16 @@ def sa_msg_fused(radii, nsamples, xyz, new_xyz, features, folded):
     if any(len(layers) != len(folded[0]) for layers in folded):
         return None  # per-radius MLP depths differ -> unfused path
     c_out_max = max(w.shape[-1] for layers in folded for w, _ in layers)
+    if features is None:
+        # stage-1 trial path (ISTNET_SA1_FUSE=1): the TRANSPOSED L1 kernel
+        # (c1-sublane slot dots; the non-transposed form lost to lane
+        # padding — see the gate note above)
+        from istnet_tpu.ops.ball_query_pallas import bqg_tile
+        tm = bqg_tile(m, n, c, nsamples)
+        if n % 128 or m % tm:
+            return None
+        return _sa_pl.sa_msg_fused_t_l1_pallas(tuple(radii), tuple(nsamples),
+                                               xyz, new_xyz, tuple(folded))
     tm = _sa_pl.sa_tile(m, n, c, nsamples, c_out_max)
     if n % 128 or m % tm:
         return None

@@ -249,6 +249,156 @@ def _sa_fused_kernel_l1(new_xyz_ref, xyz_t_ref, vals_ref, *rest,
         out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _sa_fused_kernel_t_l1(new_xyz_t_ref, xyz_ref, vals_t_ref, *rest,
+                          radii: tuple, nsamples: tuple, exact_c: int,
+                          nlayers: int):
+    """Transposed twin of ``_sa_fused_kernel_l1`` for SMALL-C stages
+    (stage 1: C=3): slots extract layer-1 pre-activation COLUMNS via
+    (c1, N) @ (N, TM) dots, so the MXU cost stays at the transposed
+    grouping kernel's 16-sublane rate instead of paying the non-transposed
+    form's pad-to-128 output lanes (the round-5 stage-1 L1 A/B's loss).
+    MLP layers 2+ and the slot max run transposed in-kernel; the wrapper
+    swaps the (B, c_last, M) outputs back.
+    """
+    nr = len(radii)
+    w_refs = [[rest[(r * nlayers + l) * 2] for l in range(nlayers)]
+              for r in range(nr)]
+    b_refs = [[rest[(r * nlayers + l) * 2 + 1] for l in range(nlayers)]
+              for r in range(nr)]
+    out_refs = rest[nr * nlayers * 2:nr * nlayers * 2 + nr]
+    scratch_ref = rest[-1]
+
+    from istnet_tpu.ops.ball_query_pallas import (make_tri_lower,
+                                                  split_exact_t,
+                                                  sublane_cumsum)
+
+    tm = new_xyz_t_ref.shape[2]
+    n = xyz_ref.shape[1]
+    at = new_xyz_t_ref[0]          # (3, TM)
+    b_ = xyz_ref[0]                # (N, 3)
+    vals_t = vals_t_ref[0]         # (C, N) f32
+
+    an = jnp.sum(at * at, axis=0, keepdims=True)
+    bn = jnp.sum(b_ * b_, axis=1, keepdims=True)
+    ab = lax.dot_general(b_, at, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    d2 = bn + an - 2.0 * ab        # (N, TM)
+
+    sub = lax.broadcasted_iota(jnp.int32, (n, tm), 0)
+    tri_l = make_tri_lower(n)
+    v3t = split_exact_t(vals_t, exact_c)              # (C + 2ec, N)
+
+    for radius, nsample, out_ref, ws, bs in zip(radii, nsamples, out_refs,
+                                                w_refs, b_refs):
+        w1t = ws[0][...]                              # (c1, C) bf16 (pre-T)
+        c1 = w1t.shape[0]
+        w1_cat = (jnp.concatenate(
+            [w1t, w1t[:, :exact_c], w1t[:, :exact_c]], axis=1)
+            if exact_c else w1t)                      # (c1, C + 2ec)
+        u = jnp.dot(w1_cat, v3t, preferred_element_type=jnp.float32)
+        u_bf = u.astype(jnp.bfloat16)                 # (c1, N)
+        u0 = u_bf[:, 0:1].astype(jnp.float32)         # no-hit -> point 0
+        cen_w = jnp.dot(w1t[:, :3].astype(jnp.float32), at,
+                        preferred_element_type=jnp.float32)  # (c1, TM)
+
+        hit = d2 < jnp.float32(radius) ** 2
+        cs = sublane_cumsum(hit, sub, tri_l, n)
+        cnt = cs[n - 1:n, :]
+        no_hit = cnt == 0
+        blk, ph = block_phase(cs, hit)
+        ph_ind = [bp_indicator(ph, v) for v in range(BP_PHASES)]
+        z0 = None
+        red = None
+        for s in range(nsample):
+            if s % BP_PHASES == 0:
+                blk_ind = bp_indicator(blk, s // BP_PHASES)
+            oh = blk_ind * ph_ind[s % BP_PHASES]      # (N, TM)
+            z = jnp.dot(u_bf, oh, preferred_element_type=jnp.float32)
+            z = jnp.where(no_hit, u0, z) - cen_w      # (c1, TM)
+            if s == 0:
+                z0 = z
+            else:
+                z = jnp.where(cnt >= s + 1, z, z0)
+            if nlayers == 1:
+                red = z if red is None else jnp.maximum(red, z)
+            else:
+                h_s = jnp.maximum(z + bs[0][...], 0.0).astype(jnp.bfloat16)
+                scratch_ref[:c1, s * tm:(s + 1) * tm] = h_s
+        if nlayers == 1:
+            out_ref[0] = jnp.maximum(red + bs[0][...], 0.0
+                                     ).astype(out_ref.dtype)
+            continue
+        h = scratch_ref[:c1, :nsample * tm]           # (c1, ns*TM) bf16
+        for l in range(1, nlayers):
+            z = jnp.dot(ws[l][...], h, preferred_element_type=jnp.float32)
+            if l < nlayers - 1:
+                h = jnp.maximum(z + bs[l][...], 0.0).astype(jnp.bfloat16)
+        red = z[:, :tm]
+        for s in range(1, nsample):
+            red = jnp.maximum(red, z[:, s * tm:(s + 1) * tm])
+        out = jnp.maximum(red + bs[nlayers - 1][...], 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def sa_msg_fused_t_l1_pallas(radii: tuple, nsamples: tuple, xyz: Array,
+                             new_xyz: Array, folded,
+                             interpret: bool = False) -> list:
+    """Stage-1 (features=None) fused SA via the transposed L1 kernel:
+    ``(B, N, 3), (B, M, 3)`` -> per-radius (B, M, c_last) bf16."""
+    from istnet_tpu.ops.ball_query_pallas import bqg_tile
+
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    c, exact_c = 3, 3
+    nlayers = len(folded[0])
+    if any(len(layers) != nlayers for layers in folded):
+        raise ValueError("sa_msg_fused_t_l1 needs one MLP depth per radius")
+    tm = bqg_tile(m, n, c, nsamples)
+    if m % tm or n % 128:
+        raise ValueError(f"sa_msg_fused_t_l1 needs M%{tm}==0 and N%128==0")
+    new_xyz_t = jnp.swapaxes(new_xyz.astype(jnp.float32), 1, 2)
+    vals_t = jnp.swapaxes(xyz, 1, 2)
+
+    wb_args, wb_specs = [], []
+    for layers in folded:
+        for w, bias in layers:
+            # weights ship pre-transposed: (c_out, c_in) rows on sublanes
+            wb_args.extend([jnp.swapaxes(w, 0, 1).astype(jnp.bfloat16),
+                            bias.reshape(-1, 1).astype(jnp.float32)])
+    for arg in wb_args:
+        wb_specs.append(pl.BlockSpec(
+            arg.shape, lambda i, j, r=arg.ndim: (0,) * r,
+            memory_space=pltpu.VMEM))
+
+    c1_max = max(layers[0][0].shape[-1] for layers in folded)
+    out = pl.pallas_call(
+        functools.partial(_sa_fused_kernel_t_l1, radii=tuple(radii),
+                          nsamples=tuple(nsamples), exact_c=exact_c,
+                          nlayers=nlayers),
+        out_shape=[jax.ShapeDtypeStruct((b, layers[-1][0].shape[-1], m),
+                                        jnp.bfloat16) for layers in folded],
+        grid=(b, m // tm),
+        in_specs=[
+            pl.BlockSpec((1, 3, tm), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + wb_specs,
+        out_specs=[pl.BlockSpec((1, layers[-1][0].shape[-1], tm),
+                                lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM) for layers in folded],
+        scratch_shapes=[pltpu.VMEM((c1_max, max(nsamples) * tm),
+                                   jnp.bfloat16)],
+        interpret=interpret,
+    )(new_xyz_t, xyz, vals_t, *wb_args)
+    return [jnp.swapaxes(o, 1, 2) for o in out]
+
+
 def _l1fuse_enabled() -> bool:
     # default ON (round-5 in-graph A/B: eval forward 10.58 -> 10.17 ms
     # @B=32 and 44.86 -> 43.26 ms @B=128; SA1/2/3 548/183/101 us from

@@ -186,3 +186,42 @@ def test_sa_module_fused_path_matches_unfused(monkeypatch):
     np.testing.assert_allclose(np.asarray(feats_f, np.float32),
                                np.asarray(feats_u, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_sa_fused_t_l1_features_none_matches_composition():
+    """The transposed stage-1 L1 kernel (sa_msg_fused_t_l1_pallas) equals
+    the unfused composition within the fused-path tolerance contract."""
+    from istnet_tpu.ops.sa_fused_pallas import sa_msg_fused_t_l1_pallas
+
+    rng = np.random.RandomState(3)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    xyz[1, 200:] += 50.0            # no-hit rows exercised
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    folded = tuple(_random_folded(rng, 3, (8, 8, 16)) for _ in RADII)
+    got = sa_msg_fused_t_l1_pallas(RADII, NS, jnp.asarray(xyz),
+                                   jnp.asarray(cent), folded, interpret=True)
+    want = _reference(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent), None,
+                      folded)
+    for g, w in zip(got, want):
+        assert g.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_sa_fused_t_l1_single_layer():
+    """nlayers == 1 register-max path of the transposed stage-1 kernel."""
+    from istnet_tpu.ops.sa_fused_pallas import sa_msg_fused_t_l1_pallas
+
+    rng = np.random.RandomState(5)
+    xyz = np.asarray(rng.randn(2, 256, 3), np.float32) * 0.2
+    cent = np.asarray(rng.randn(2, 128, 3), np.float32) * 0.2
+    folded = tuple(_random_folded(rng, 3, (16,)) for _ in RADII)
+    got = sa_msg_fused_t_l1_pallas(RADII, NS, jnp.asarray(xyz),
+                                   jnp.asarray(cent), folded, interpret=True)
+    want = _reference(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent), None,
+                      folded)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
