@@ -225,3 +225,22 @@ def test_sa_fused_t_l1_single_layer():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(w, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_sa_fused_l1_n2048_hillis_steele_path():
+    """The L1-fused default kernel on the 2048-pt config's cumsum path
+    (N > 1024: make_tri -> None, Hillis-Steele lane rolls)."""
+    rng = np.random.RandomState(7)
+    xyz = np.asarray(rng.randn(1, 2048, 3), np.float32) * 0.05
+    cent = np.asarray(rng.randn(1, 128, 3), np.float32) * 0.05
+    feats = jnp.asarray(rng.randn(1, 2048, 5).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    folded = tuple(_random_folded(rng, 5 + 3, (8, 16)) for _ in RADII)
+    got = sa_msg_fused_pallas(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent),
+                              feats, folded, interpret=True)
+    want = _reference(RADII, NS, jnp.asarray(xyz), jnp.asarray(cent), feats,
+                      folded)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
